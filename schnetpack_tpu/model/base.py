@@ -1,0 +1,228 @@
+"""Model composition.
+
+Parity: ``src/schnetpack/model/base.py`` (AtomisticModel /
+NeuralNetworkPotential).  The TPU-native design splits the model into
+
+* ``AtomisticCore`` — a pure flax module: input modules -> representation ->
+  output heads, all operating on the flat batch dict; and
+* ``NeuralNetworkPotential`` — the user-facing object that owns the core
+  plus declarative response specs (``Forces``/``Response``) and computes all
+  requested derivatives by composing ``jax.grad``/``jax.jacrev`` around one
+  energy closure.  Everything inside ``apply`` is jit-compatible.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import properties
+from ..atomistic.response import (
+    Forces,
+    Response,
+    StaticExternalFields,
+    Strain,
+    is_response_module,
+    required_derivatives,
+)
+
+
+class AtomisticCore(nn.Module):
+    """input_modules -> representation -> output_modules over the batch dict."""
+
+    input_modules: Tuple[nn.Module, ...]
+    representation: nn.Module
+    output_modules: Tuple[nn.Module, ...]
+
+    @nn.compact
+    def __call__(self, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+        inputs = dict(inputs)
+        for m in self.input_modules:
+            inputs = m(inputs)
+        inputs = self.representation(inputs)
+        for m in self.output_modules:
+            inputs = m(inputs)
+        return inputs
+
+
+class NeuralNetworkPotential:
+    """Composable atomistic potential with derivative (response) outputs.
+
+    Parameters mirror the reference (``model/base.py:132-190``):
+    ``output_modules`` may mix flax head modules (Atomwise, DipoleMoment, …)
+    with response *specs* (``Forces``, ``Response``).
+    """
+
+    def __init__(
+        self,
+        representation: nn.Module,
+        input_modules: Sequence[nn.Module] = (),
+        output_modules: Sequence = (),
+        postprocessors: Sequence[Callable] = (),
+        do_postprocessing: bool = True,
+    ):
+        self.response_specs: List = [m for m in output_modules if is_response_module(m)]
+        heads = tuple(m for m in output_modules if not is_response_module(m))
+        self.need = required_derivatives(self.response_specs)
+
+        ins = list(input_modules)
+        if self.need["strain"] and not any(isinstance(m, Strain) for m in ins):
+            ins.insert(0, Strain())
+        req_fields: List[str] = []
+        for spec in self.response_specs:
+            if isinstance(spec, Response):
+                for f in spec.required_fields:
+                    if f not in req_fields:
+                        req_fields.append(f)
+        if req_fields and not any(isinstance(m, StaticExternalFields) for m in ins):
+            ins.insert(0, StaticExternalFields(tuple(req_fields)))
+        self.required_fields = req_fields
+
+        self.core = AtomisticCore(tuple(ins), representation, heads)
+        self.postprocessors = list(postprocessors)
+        self.do_postprocessing = do_postprocessing
+
+        # advertised outputs (for the training task)
+        self.model_outputs: List[str] = []
+        for m in heads:
+            for attr in ("output_key", "dipole_key", "polar_key", "charges_key", "per_atom_output_key"):
+                key = getattr(m, attr, None)
+                if key and key not in self.model_outputs:
+                    self.model_outputs.append(key)
+        for spec in self.response_specs:
+            if isinstance(spec, Forces):
+                if spec.calc_forces:
+                    self.model_outputs.append(spec.force_key)
+                if spec.calc_stress:
+                    self.model_outputs.append(spec.stress_key)
+            else:
+                self.model_outputs.extend(
+                    [p for p in spec.response_properties if p not in self.model_outputs]
+                )
+
+    # ------------------------------------------------------------------
+    def init(self, rng, inputs: Dict[str, jax.Array]):
+        ins = self._with_zero_primals(dict(inputs))
+        return self.core.init(rng, ins)
+
+    def _with_zero_primals(self, inputs):
+        M = inputs[properties.n_atoms].shape[0]
+        dtype = inputs[properties.R].dtype
+        if self.need["strain"] and properties.strain not in inputs:
+            inputs[properties.strain] = jnp.zeros((M, 3, 3), dtype=dtype)
+        for f in self.required_fields:
+            if f not in inputs:
+                inputs[f] = jnp.zeros((M, 3), dtype=dtype)
+        return inputs
+
+    # ------------------------------------------------------------------
+    def apply(
+        self,
+        params,
+        inputs: Dict[str, jax.Array],
+        do_postprocessing: Optional[bool] = None,
+    ) -> Dict[str, jax.Array]:
+        """Forward + all requested response derivatives. Pure; jit me."""
+        inputs = dict(inputs)
+        M = inputs[properties.n_atoms].shape[0]
+        dtype = inputs[properties.R].dtype
+        mol_mask = inputs.get(
+            properties.mol_mask, jnp.ones((M,), dtype=dtype)
+        )
+
+        energy_key = (
+            self.response_specs[0].energy_key if self.response_specs else properties.energy
+        )
+
+        R0 = inputs[properties.R]
+        eps0 = jnp.zeros((M, 3, 3), dtype=dtype)
+        F0 = jnp.zeros((M, 3), dtype=dtype)
+
+        def closure(R_, eps_, F_):
+            ins = dict(inputs)
+            ins[properties.R] = R_
+            if self.need["strain"]:
+                ins[properties.strain] = eps_
+            if properties.electric_field in self.required_fields:
+                ins[properties.electric_field] = F_
+            out = self.core.apply(params, ins)
+            E = jnp.sum(out[energy_key] * mol_mask) if energy_key in out else 0.0
+            return E, out
+
+        props = set()
+        for s in self.response_specs:
+            props.update(s.response_properties)
+
+        argnums = []
+        if self.need["positions"]:
+            argnums.append(0)
+        if self.need["strain"]:
+            argnums.append(1)
+        if self.need["electric_field"]:
+            argnums.append(2)
+
+        if argnums:
+            grads, out = jax.grad(closure, argnums=tuple(argnums), has_aux=True)(
+                R0, eps0, F0
+            )
+            grad_map = dict(zip(argnums, grads))
+        else:
+            _, out = closure(R0, eps0, F0)
+            grad_map = {}
+
+        atom_mask = inputs.get(
+            properties.atom_mask, jnp.ones(R0.shape[0], dtype=dtype)
+        )
+
+        for spec in self.response_specs:
+            fkey = spec.force_key if isinstance(spec, Forces) else properties.forces
+            skey = spec.stress_key if isinstance(spec, Forces) else properties.stress
+            if properties.forces in spec.response_properties:
+                out[fkey] = -grad_map[0] * atom_mask[:, None]
+            if properties.stress in spec.response_properties:
+                cell = inputs[properties.cell]
+                volume = jnp.abs(jnp.linalg.det(cell))
+                volume = jnp.maximum(volume, 1e-9)
+                sigma = grad_map[1] / volume[:, None, None]
+                out[skey] = 0.5 * (sigma + jnp.swapaxes(sigma, 1, 2))
+            if properties.dipole_moment in spec.response_properties and 2 in grad_map:
+                out[properties.dipole_moment] = -grad_map[2] * mol_mask[:, None]
+
+        if properties.hessian in props:
+            grad_R = lambda R_: jax.grad(lambda r: closure(r, eps0, F0)[0])(R_)
+            out[properties.hessian] = jax.jacrev(grad_R)(R0)
+
+        if properties.polarizability in props and properties.electric_field in self.required_fields:
+            grad_F = lambda F_: jax.grad(lambda f: closure(R0, eps0, f)[0])(F_)
+            alpha_full = -jax.jacrev(grad_F)(F0)  # [M,3,M,3]
+            alpha = jnp.diagonal(alpha_full, axis1=0, axis2=2)  # [3,3,M]
+            out[properties.polarizability] = jnp.moveaxis(alpha, -1, 0)
+
+        if properties.dipole_derivatives in props:
+            # d mu / d R = -d2 E / dF dR  -> [M,3,A,3]
+            mu_of_R = lambda R_: -jax.grad(
+                lambda f: closure(R_, eps0, f)[0]
+            )(F0)
+            out[properties.dipole_derivatives] = jax.jacrev(mu_of_R)(R0)
+
+        do_post = self.do_postprocessing if do_postprocessing is None else do_postprocessing
+        if do_post:
+            for pp in self.postprocessors:
+                out = pp(out)
+        return out
+
+    # convenience -------------------------------------------------------
+    def predict(self, params, inputs, jit_cache={}):
+        """Jitted inference apply (postprocessing on)."""
+        key = id(self)
+        if key not in jit_cache:
+            jit_cache[key] = jax.jit(
+                lambda p, i: self.apply(p, i, do_postprocessing=True)
+            )
+        return jit_cache[key](params, inputs)
+
+
+#: alias matching the reference's generic base name
+AtomisticModel = NeuralNetworkPotential

@@ -1,0 +1,117 @@
+"""
+Canonical names for the keys of the flat batch dictionary.
+
+Every layer of the framework communicates through a single flat
+``Dict[str, jax.Array]`` whose keys are the string constants defined here.
+This mirrors the key registry of the reference implementation
+(schnetpack ``src/schnetpack/properties.py:10-84``) so that a user of the
+reference finds the identical vocabulary, but adds TPU-specific keys for
+the fixed-shape padded batch layout (masks, dense neighbor matrices).
+"""
+from typing import Dict, Final, List
+
+# ---------------------------------------------------------------------------
+# structure / indexing
+# ---------------------------------------------------------------------------
+idx: Final[str] = "_idx"
+
+#: unique molecule/system id within a batch
+idx_m: Final[str] = "_idx_m"
+#: index of center atom of each pair
+idx_i: Final[str] = "_idx_i"
+#: index of neighbor atom of each pair
+idx_j: Final[str] = "_idx_j"
+
+#: long-range pair indices (beyond the short-range cutoff split)
+idx_i_lr: Final[str] = "_idx_i_lr"
+idx_j_lr: Final[str] = "_idx_j_lr"
+
+lidx_i: Final[str] = "_idx_i_local"
+lidx_j: Final[str] = "_idx_j_local"
+
+#: triples (angular terms)
+idx_i_triples: Final[str] = "_idx_i_triples"
+idx_j_triples: Final[str] = "_idx_j_triples"
+idx_k_triples: Final[str] = "_idx_k_triples"
+
+#: nuclear charges [n_atoms]
+Z: Final[str] = "_atomic_numbers"
+#: atom positions [n_atoms, 3]
+R: Final[str] = "_positions"
+#: unit cells [n_molecules, 3, 3]
+cell: Final[str] = "_cell"
+#: periodic boundary condition flags [n_molecules, 3]
+pbc: Final[str] = "_pbc"
+
+#: pair displacement vectors R[idx_j] - R[idx_i] + offsets, [n_pairs, 3]
+Rij: Final[str] = "_Rij"
+Rij_lr: Final[str] = "_Rij_lr"
+#: integer cell-shift offsets of each pair (in Cartesian coords) [n_pairs, 3]
+offsets: Final[str] = "_offsets"
+offsets_lr: Final[str] = "_offsets_lr"
+
+#: number of atoms per molecule [n_molecules]
+n_atoms: Final[str] = "_n_atoms"
+#: cumulative segment boundaries (exclusive cumsum of n_atoms) [n_molecules+1]
+seg_m: Final[str] = "_seg_m"
+#: number of neighbors per atom [n_atoms]
+n_nbh: Final[str] = "_n_nbh"
+
+# --- TPU padded-batch layout ------------------------------------------------
+#: 1.0 for real atoms, 0.0 for padding [n_atoms]
+atom_mask: Final[str] = "_atom_mask"
+#: 1.0 for real pairs, 0.0 for padding [n_pairs]
+pair_mask: Final[str] = "_pair_mask"
+#: 1.0 for real molecules, 0.0 for padding [n_molecules]
+mol_mask: Final[str] = "_mol_mask"
+#: 1.0 for real long-range pairs [n_pairs_lr]
+pair_mask_lr: Final[str] = "_pair_mask_lr"
+#: 1.0 for real triples
+triple_mask: Final[str] = "_triple_mask"
+
+# ---------------------------------------------------------------------------
+# chemical properties
+# ---------------------------------------------------------------------------
+energy: Final[str] = "energy"
+forces: Final[str] = "forces"
+stress: Final[str] = "stress"
+strain: Final[str] = "strain"
+masses: Final[str] = "masses"
+dipole_moment: Final[str] = "dipole_moment"
+dipole_derivatives: Final[str] = "dipole_derivatives"
+partial_charges: Final[str] = "partial_charges"
+polarizability: Final[str] = "polarizability"
+polarizability_derivatives: Final[str] = "polarizability_derivatives"
+total_charge: Final[str] = "total_charge"
+spin_multiplicity: Final[str] = "spin_multiplicity"
+electric_field: Final[str] = "electric_field"
+magnetic_field: Final[str] = "magnetic_field"
+nuclear_magnetic_moments: Final[str] = "nuclear_magnetic_moments"
+shielding: Final[str] = "shielding"
+nuclear_spin_coupling: Final[str] = "nuclear_spin_coupling"
+hessian: Final[str] = "hessian"
+
+#: external fields required for a given response property
+required_external_fields: Dict[str, List[str]] = {
+    dipole_moment: [electric_field],
+    dipole_derivatives: [electric_field],
+    partial_charges: [electric_field],
+    polarizability: [electric_field],
+    polarizability_derivatives: [electric_field],
+    shielding: [magnetic_field],
+    nuclear_spin_coupling: [magnetic_field],
+}
+
+external_fields: List[str] = [electric_field, magnetic_field]
+
+# ---------------------------------------------------------------------------
+# internal helper keys
+# ---------------------------------------------------------------------------
+scalar_representation: Final[str] = "scalar_representation"
+vector_representation: Final[str] = "vector_representation"
+multipole_representation: Final[str] = "multipole_representation"
+
+#: set of structure keys (everything a raw sample must carry)
+structure_keys = frozenset(
+    {Z, R, cell, pbc, idx_m, idx_i, idx_j, offsets, n_atoms}
+)

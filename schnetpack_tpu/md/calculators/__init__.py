@@ -1,0 +1,12 @@
+from .base import MDCalculator, PairwiseMDCalculator
+from .lj import LJCalculator
+from .schnetpack_calculator import (
+    EnsembleCalculator,
+    SchNetPackCalculator,
+    stack_ensemble_params,
+)
+
+__all__ = [
+    "MDCalculator", "PairwiseMDCalculator", "LJCalculator",
+    "EnsembleCalculator", "SchNetPackCalculator", "stack_ensemble_params",
+]

@@ -1,0 +1,95 @@
+"""Machine-learning potential calculators for MD.
+
+Parity: ``src/schnetpack/md/calculators/schnetpack_calculator.py`` —
+``SchNetPackCalculator`` evaluates a trained ``NeuralNetworkPotential``
+inside the MD step; the ensemble variant averages several parameter sets
+and reports uncertainties.
+
+TPU notes: the model evaluation is traced into the simulator's scan body —
+positions never leave the device.  Stress activation mirrors the
+reference's ``activate_model_stress`` (``md/utils/__init__.py:19-86``) by
+constructing the potential with ``calc_stress=True``.  The ensemble
+calculator vmaps one model over stacked parameter pytrees instead of
+looping over model instances.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ... import properties as structure
+from ..system import System
+from .base import PairwiseMDCalculator
+
+
+class SchNetPackCalculator(PairwiseMDCalculator):
+    def __init__(
+        self,
+        model,                      # NeuralNetworkPotential
+        params,
+        cutoff: float,              # model units
+        force_key: str = structure.forces,
+        energy_unit: str = "eV",
+        position_unit: str = "Ang",
+        energy_key: Optional[str] = structure.energy,
+        stress_key: Optional[str] = None,
+        cutoff_shell: float = 0.0,
+        required_properties: List[str] = (),
+    ):
+        super().__init__(
+            cutoff=cutoff,
+            cutoff_shell=cutoff_shell,
+            required_properties=required_properties,
+            force_key=force_key,
+            energy_unit=energy_unit,
+            position_unit=position_unit,
+            energy_key=energy_key,
+            stress_key=stress_key,
+        )
+        self.model = model
+        self.params = params
+
+    def _model_inputs(self, system: System) -> Dict[str, jax.Array]:
+        inputs = self._get_system_molecules(system)
+        inputs.update(self._pair_inputs(system))
+        return inputs
+
+    def calculate(self, system: System) -> System:
+        inputs = self._model_inputs(system)
+        outputs = self.model.apply(self.params, inputs, do_postprocessing=False)
+        return self._update_system(system, outputs)
+
+
+class EnsembleCalculator(SchNetPackCalculator):
+    """Mean over an ensemble of parameter sets; writes ``*_uncertainty``
+    (std) alongside results (parity: ensemble_calculator.py:14-81).
+
+    ``stacked_params``: pytree whose leaves have a leading ensemble axis
+    (use ``stack_ensemble_params``).
+    """
+
+    def __init__(self, model, stacked_params, cutoff: float, **kwargs):
+        super().__init__(model, stacked_params, cutoff, **kwargs)
+
+    def calculate(self, system: System) -> System:
+        inputs = self._model_inputs(system)
+
+        def run_one(params):
+            return self.model.apply(params, inputs, do_postprocessing=False)
+
+        outputs = jax.vmap(run_one)(self.params)  # leaves: [E, ...]
+        mean = jax.tree.map(lambda x: jnp.mean(x, axis=0), outputs)
+        system = self._update_system(system, mean)
+        # uncertainties stored on the side (host hooks may log them)
+        self.last_uncertainty = {
+            k + "_uncertainty": jnp.std(v, axis=0)
+            for k, v in outputs.items()
+            if k in (self.force_key, self.energy_key, self.stress_key)
+        }
+        return system
+
+
+def stack_ensemble_params(params_list):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)

@@ -1,0 +1,103 @@
+"""SO(3)-equivariant NN layers.
+
+Parity: ``src/schnetpack/nn/so3.py`` — RealSphericalHarmonics, SO3TensorProduct,
+SO3Convolution, SO3ParametricGatedNonlinearity, SO3GatedNonlinearity.
+
+Feature layout: ``[A, (lmax+1)^2, F]``; the CG coupling is a dense einsum
+with the precomputed real-basis tensor (small, fully fused by XLA).
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import so3 as so3_ops
+from ..ops.activations import shifted_softplus
+from ..ops.scatter import segment_sum
+from .base import Dense
+
+
+class RealSphericalHarmonics(nn.Module):
+    lmax: int
+
+    def __call__(self, directions: jax.Array) -> jax.Array:
+        return so3_ops.real_spherical_harmonics(directions, self.lmax)
+
+
+class SO3TensorProduct(nn.Module):
+    """y = CG(x1, x2) elementwise over atoms/features (so3.py:177-219)."""
+
+    lmax: int
+
+    def __call__(self, x1: jax.Array, x2: jax.Array) -> jax.Array:
+        cg = so3_ops.cg_dense(self.lmax, x1.dtype)
+        return so3_ops.so3_tensor_product(x1, x2, cg)
+
+
+class SO3Convolution(nn.Module):
+    """Pairwise CG convolution (so3.py:221-307).
+
+    msg_p = W_l(d_p) * CG( x[idx_j_p], Y(dir_p) );  x'_i = sum_p msg_p.
+    Radial filters are per output degree l, broadcast over m.
+    """
+
+    lmax: int
+    n_atom_basis: int
+    n_radial: int
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,        # [A, n_lm, F]
+        radial_ij: jax.Array,  # [P, n_radial]
+        dir_ij: jax.Array,     # [P, 3]
+        cutoff_ij: jax.Array,  # [P] (mask folded in)
+        idx_i: jax.Array,
+        idx_j: jax.Array,
+    ) -> jax.Array:
+        A = x.shape[0]
+        F = self.n_atom_basis
+        n_lm = (self.lmax + 1) ** 2
+
+        ylm = so3_ops.real_spherical_harmonics(dir_ij, self.lmax)  # [P, n_lm]
+        cg = so3_ops.cg_dense(self.lmax, x.dtype)
+
+        # radial filter: one weight set per degree l, expanded to lm
+        Wl = Dense((self.lmax + 1) * F, name="filternet")(radial_ij)  # [P, (l+1)F]
+        Wl = Wl.reshape(-1, self.lmax + 1, F) * cutoff_ij[:, None, None]
+        deg = jnp.asarray(so3_ops.degree_index(self.lmax))
+        Wlm = jnp.take(Wl, deg, axis=1)  # [P, n_lm, F]
+
+        xj = jnp.take(x, idx_j, axis=0)  # [P, n_lm, F]
+        msg = jnp.einsum("pqr,apf,aq->arf", cg, xj, ylm) * Wlm
+        return segment_sum(msg, idx_i, A)
+
+
+class SO3ParametricGatedNonlinearity(nn.Module):
+    """x_lm <- x_lm * sigmoid(W x_00) (so3.py:310-334)."""
+
+    n_in: int
+    lmax: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s0 = x[:, 0, :]
+        h = Dense((self.lmax + 1) * self.n_in, name="scaling")(s0)
+        h = h.reshape(-1, self.lmax + 1, self.n_in)
+        deg = jnp.asarray(so3_ops.degree_index(self.lmax))
+        gate = jax.nn.sigmoid(jnp.take(h, deg, axis=1))
+        return x * gate
+
+
+class SO3GatedNonlinearity(nn.Module):
+    """Non-parametric gate by the scalar channel (so3.py:337-357)."""
+
+    lmax: int
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        s0 = x[:, 0:1, :]
+        return x * jax.nn.sigmoid(s0)

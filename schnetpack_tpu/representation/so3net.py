@@ -1,0 +1,92 @@
+"""SO3net: spherical-harmonic message-passing representation.
+
+Parity: ``src/schnetpack/representation/so3net.py:103-155`` — embed ->
+scalar2rsh -> per block: SO3Convolution, optional tensor-product residual,
+parametric gated nonlinearity, feature mixings; outputs scalar features,
+the full multipole field and (optionally) a Cartesian vector view of the
+l=1 channels.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .. import properties
+from ..nn.base import Dense
+from ..nn.cutoff import CosineCutoff
+from ..nn.radial import GaussianRBF
+from ..nn.so3 import (
+    SO3Convolution,
+    SO3ParametricGatedNonlinearity,
+    SO3TensorProduct,
+)
+from ..ops import so3 as so3_ops
+from ..ops.math import safe_norm
+
+
+class SO3net(nn.Module):
+    n_atom_basis: int = 64
+    n_interactions: int = 3
+    lmax: int = 2
+    n_rbf: int = 20
+    cutoff: float = 5.0
+    max_z: int = 100
+    radial_basis: Optional[nn.Module] = None
+    cutoff_fn: Optional[nn.Module] = None
+    return_vector_representation: bool = False
+    shared_interactions: bool = False
+
+    @nn.compact
+    def __call__(self, inputs):
+        Z = inputs[properties.Z]
+        Rij = inputs[properties.Rij]
+        idx_i = inputs[properties.idx_i]
+        idx_j = inputs[properties.idx_j]
+        pair_mask = inputs[properties.pair_mask]
+        F = self.n_atom_basis
+
+        radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
+        cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
+
+        d_ij = safe_norm(Rij, axis=-1)
+        dir_ij = Rij / d_ij[:, None]
+        radial_ij = radial(d_ij)
+        cutoff_ij = cutoff_fn(d_ij) * pair_mask
+
+        x0 = nn.Embed(self.max_z + 1, F, name="embedding")(Z)  # [A, F]
+        x = so3_ops.scalar2rsh(x0, self.lmax)  # [A, n_lm, F]
+
+        if self.shared_interactions:
+            conv = [SO3Convolution(self.lmax, F, self.n_rbf, name="so3conv_shared")] * self.n_interactions
+            mix1 = [Dense(F, use_bias=False, name="mix1_shared")] * self.n_interactions
+            mix2 = [Dense(F, use_bias=False, name="mix2_shared")] * self.n_interactions
+            mix3 = [Dense(F, use_bias=False, name="mix3_shared")] * self.n_interactions
+            gate = [SO3ParametricGatedNonlinearity(F, self.lmax, name="gate_shared")] * self.n_interactions
+            tp = [SO3TensorProduct(self.lmax, name="tp_shared")] * self.n_interactions
+        else:
+            conv = [SO3Convolution(self.lmax, F, self.n_rbf, name=f"so3conv_{t}") for t in range(self.n_interactions)]
+            mix1 = [Dense(F, use_bias=False, name=f"mix1_{t}") for t in range(self.n_interactions)]
+            mix2 = [Dense(F, use_bias=False, name=f"mix2_{t}") for t in range(self.n_interactions)]
+            mix3 = [Dense(F, use_bias=False, name=f"mix3_{t}") for t in range(self.n_interactions)]
+            gate = [SO3ParametricGatedNonlinearity(F, self.lmax, name=f"gate_{t}") for t in range(self.n_interactions)]
+            tp = [SO3TensorProduct(self.lmax, name=f"tp_{t}") for t in range(self.n_interactions)]
+
+        for t in range(self.n_interactions):
+            dx = conv[t](x, radial_ij, dir_ij, cutoff_ij, idx_i, idx_j)
+            ddx = mix1[t](dx)
+            dx = dx + ddx + tp[t](dx, ddx)
+            dx = gate[t](dx)
+            dx = mix2[t](dx)
+            x = x + dx
+            x = mix3[t](x)
+
+        inputs[properties.scalar_representation] = x[:, 0, :]
+        inputs[properties.multipole_representation] = x
+        if self.return_vector_representation:
+            # l=1 channels in Ylm order (m=-1,0,1) = (y, z, x) -> roll to (x,y,z)
+            v = x[:, 1:4, :]
+            inputs[properties.vector_representation] = jnp.roll(v, 1, axis=1)
+        return inputs

@@ -1,0 +1,60 @@
+"""Minimal (ext)xyz parsing without ase."""
+from __future__ import annotations
+
+import re
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+_SYMBOLS = [
+    "X", "H", "He", "Li", "Be", "B", "C", "N", "O", "F", "Ne", "Na", "Mg",
+    "Al", "Si", "P", "S", "Cl", "Ar", "K", "Ca", "Sc", "Ti", "V", "Cr", "Mn",
+    "Fe", "Co", "Ni", "Cu", "Zn", "Ga", "Ge", "As", "Se", "Br", "Kr", "Rb",
+    "Sr", "Y", "Zr", "Nb", "Mo", "Tc", "Ru", "Rh", "Pd", "Ag", "Cd", "In",
+    "Sn", "Sb", "Te", "I", "Xe", "Cs", "Ba", "La", "Ce", "Pr", "Nd", "Pm",
+    "Sm", "Eu", "Gd", "Tb", "Dy", "Ho", "Er", "Tm", "Yb", "Lu", "Hf", "Ta",
+    "W", "Re", "Os", "Ir", "Pt", "Au", "Hg", "Tl", "Pb", "Bi", "Po", "At",
+    "Rn", "Fr", "Ra", "Ac", "Th", "Pa", "U", "Np", "Pu", "Am", "Cm", "Bk",
+    "Cf", "Es", "Fm", "Md", "No", "Lr",
+]
+_Z = {s: i for i, s in enumerate(_SYMBOLS)}
+
+
+def symbol_to_z(symbol: str) -> int:
+    return _Z[symbol]
+
+
+def parse_extxyz_blocks(text: str) -> Iterator[Dict]:
+    """Yield dicts with numbers/positions/comment (+cell if a Lattice=... is
+    present) for every frame in a concatenated xyz file."""
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        line = lines[i].strip()
+        if not line:
+            i += 1
+            continue
+        n = int(line)
+        comment = lines[i + 1] if i + 1 < len(lines) else ""
+        Z, R = [], []
+        for ln in lines[i + 2: i + 2 + n]:
+            parts = ln.split()
+            sym = parts[0]
+            Z.append(_Z[sym] if not sym.isdigit() else int(sym))
+            R.append([float(x.replace("*^", "e")) for x in parts[1:4]])
+        block = {
+            "numbers": np.asarray(Z, np.int64),
+            "positions": np.asarray(R),
+            "comment": comment,
+        }
+        m = re.search(r'Lattice="([^"]+)"', comment)
+        if m:
+            vals = [float(x) for x in m.group(1).split()]
+            block["cell"] = np.asarray(vals).reshape(3, 3)
+        yield block
+        i += 2 + n
+
+
+def read_extxyz_file(path: str) -> List[Dict]:
+    with open(path) as f:
+        return list(parse_extxyz_blocks(f.read()))

@@ -1,4 +1,12 @@
+from .atomistic import (
+    AddOffsets,
+    RemoveOffsets,
+    ScaleProperty,
+    SubtractCenterOfGeometry,
+    SubtractCenterOfMass,
+)
 from .base import ComposedTransform, Transform
+from .casting import CastMap, CastTo32, CastTo64
 from .neighborlist import (
     ASENeighborList,
     CachedNeighborList,
@@ -14,6 +22,9 @@ from .neighborlist import (
 )
 
 __all__ = [
+    "AddOffsets", "RemoveOffsets", "ScaleProperty",
+    "SubtractCenterOfGeometry", "SubtractCenterOfMass",
+    "CastMap", "CastTo32", "CastTo64",
     "ComposedTransform", "Transform",
     "ASENeighborList", "CachedNeighborList", "CollectAtomTriples",
     "CountNeighbors", "FilterNeighbors", "MatScipyNeighborList",

@@ -131,12 +131,13 @@ class Composer:
             add = key.startswith("+")
             key = key.lstrip("+")
             if "." not in key and self._find(key, str(value)):
-                # group swap: load group config and merge at top level/group key
                 sub = self._load_group(key, str(value))
                 if key == "experiment":
+                    # experiment overlays patch the whole tree
                     cfg = _deep_merge(cfg, sub)
                 else:
-                    cfg = _deep_merge(cfg, {key: sub} if not _is_top_level(sub, key) else sub)
+                    # group swap: REPLACE the group node entirely
+                    cfg[key] = sub
             else:
                 simple_overrides.append((key, _parse_value(value), add))
         for key, value, add in simple_overrides:

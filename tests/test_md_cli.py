@@ -1,0 +1,63 @@
+"""spkmd CLI end-to-end (LJ argon) + HDF5 analysis + spectra."""
+import os
+
+import numpy as np
+import pytest
+
+from schnetpack_tpu.md.cli import main as spkmd_main
+
+
+@pytest.fixture(scope="module")
+def md_run(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mdcli")
+    xyz = tmp / "argon.xyz"
+    rng = np.random.RandomState(0)
+    pos = np.array(
+        [[i * 3.9, j * 3.9, k * 3.9] for i in range(2) for j in range(2) for k in range(2)]
+    ) + rng.rand(8, 3) * 0.05
+    lines = ["8", "argon cluster"]
+    for p in pos:
+        lines.append(f"Ar {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}")
+    xyz.write_text("\n".join(lines) + "\n")
+
+    sim_dir = tmp / "sim"
+    spkmd_main([
+        f"system.molecule_file={xyz}",
+        f"simulation_dir={sim_dir}",
+        "calculator=lj",
+        "dynamics=nvt",
+        "dynamics.n_steps=60",
+        "dynamics.chunk_size=30",
+        "dynamics.thermostat.temperature_bath=40.0",
+        "dynamics.thermostat.time_constant=20.0",
+        "system.initializer.temperature=40.0",
+    ])
+    return str(sim_dir)
+
+
+def test_spkmd_outputs(md_run):
+    assert os.path.exists(os.path.join(md_run, "simulation.hdf5"))
+    assert os.path.exists(os.path.join(md_run, "config.yaml"))
+
+
+def test_hdf5_loader_and_power_spectrum(md_run):
+    from schnetpack_tpu.md.data import HDF5Loader, PowerSpectrum
+
+    data = HDF5Loader(os.path.join(md_run, "simulation.hdf5"))
+    assert data.entries == 60
+    assert data.n_replicas == 1
+    T = data.get_temperature()
+    assert T.shape[0] == 60
+    assert np.isfinite(T).all()
+    v = data.get("velocities")
+    assert v.shape == (60, 8, 3)
+    frame = data.convert_to_atoms(10)
+    assert frame["_positions"].shape == (8, 3)
+
+    spec = PowerSpectrum(data, resolution=32)
+    spec.compute_spectrum(0)
+    (freq, inten), = spec.get_spectrum()
+    assert freq.shape == inten.shape
+    assert np.isfinite(inten).all()
+    assert freq[1] > 0  # cm^-1 axis
+    data.close()

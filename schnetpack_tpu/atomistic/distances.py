@@ -26,6 +26,14 @@ class PairwiseDistances(nn.Module):
         offsets = inputs[properties.offsets]
         Rij = jnp.take(R, idx_j, axis=0) - jnp.take(R, idx_i, axis=0) + offsets
         inputs[properties.Rij] = Rij
+        if properties.nbh_idx in inputs:
+            # dense layout: [A, K, 3] displacements
+            nbh = inputs[properties.nbh_idx]
+            inputs[properties.nbh_rij] = (
+                jnp.take(R, nbh, axis=0)
+                + inputs[properties.nbh_offsets]
+                - R[:, None, :]
+            )
         if properties.idx_i_lr in inputs:
             Rij_lr = (
                 jnp.take(R, inputs[properties.idx_j_lr], axis=0)

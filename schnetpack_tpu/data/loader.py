@@ -35,13 +35,20 @@ _PAIR_KEYS = {
 
 @dataclasses.dataclass(frozen=True)
 class PaddingSpec:
-    """Static shape budget for one batch."""
+    """Static shape budget for one batch.
+
+    ``n_neighbors > 0`` additionally emits the dense neighbor-matrix layout
+    (``_nbh_idx``/``_nbh_mask``/``_nbh_offsets``, [A, K]) — the TPU-fast
+    path: message aggregation becomes a reduction over the K axis instead
+    of a scatter (see representation modules).
+    """
 
     n_atoms: int
     n_pairs: int
     n_molecules: int
     n_pairs_lr: int = 0
     n_triples: int = 0
+    n_neighbors: int = 0
 
     def validate(self, total_atoms: int, total_pairs: int, n_mol: int):
         if self.n_atoms < total_atoms + 1:
@@ -202,6 +209,39 @@ def collate(
         batch[structure.idx_j_triples] = tj
         batch[structure.idx_k_triples] = tk
         batch[structure.triple_mask] = tmask
+
+    # --- dense neighbor matrix ------------------------------------------
+    if spec.n_neighbors:
+        K = spec.n_neighbors
+        nbh = np.full((A, K), A - 1, dtype=np.int32)
+        nmask = np.zeros((A, K), dtype=float_dtype)
+        noff = np.zeros((A, K, 3), dtype=float_dtype)
+        noff[:, :, 0] = PAD_OFFSET
+        valid = batch[structure.pair_mask] > 0
+        iiv = batch[structure.idx_i][valid]
+        jjv = batch[structure.idx_j][valid]
+        offv = batch[structure.offsets][valid]
+        # pairs are globally sorted by center atom: slot = rank within group
+        counts = np.bincount(iiv, minlength=A)
+        if counts.max(initial=0) > K:
+            raise ValueError(
+                f"an atom has {counts.max()} neighbors > n_neighbors={K}"
+            )
+        starts = np.zeros(A + 1, dtype=np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slots = np.arange(len(iiv)) - starts[iiv]
+        nbh[iiv, slots] = jjv
+        noff[iiv, slots] = offv
+        nmask[iiv, slots] = 1.0
+        batch[structure.nbh_idx] = nbh
+        batch[structure.nbh_mask] = nmask
+        batch[structure.nbh_offsets] = noff
+        # reverse-edge map enabling the scatter-free gather VJP
+        from ..ops.neighbor_gather import build_reverse_map
+
+        batch[structure.nbh_rev] = build_reverse_map(
+            iiv, jjv, offv, slots, A, K
+        )
 
     # --- everything else: targets / extra per-atom or per-molecule data ---
     handled = set(batch) | {structure.idx, structure.n_atoms, structure.seg_m}

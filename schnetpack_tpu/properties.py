@@ -57,6 +57,17 @@ seg_m: Final[str] = "_seg_m"
 #: number of neighbors per atom [n_atoms]
 n_nbh: Final[str] = "_n_nbh"
 
+#: dense neighbor matrix [n_atoms, K]: j-index of each neighbor slot
+nbh_idx: Final[str] = "_nbh_idx"
+#: dense neighbor validity mask [n_atoms, K]
+nbh_mask: Final[str] = "_nbh_mask"
+#: dense per-slot PBC offsets [n_atoms, K, 3]
+nbh_offsets: Final[str] = "_nbh_offsets"
+#: dense displacement vectors [n_atoms, K, 3] (computed in-model)
+nbh_rij: Final[str] = "_nbh_Rij"
+#: reverse-edge map [n_atoms, K]: flat index of each edge's reverse edge
+nbh_rev: Final[str] = "_nbh_rev"
+
 # --- TPU padded-batch layout ------------------------------------------------
 #: 1.0 for real atoms, 0.0 for padding [n_atoms]
 atom_mask: Final[str] = "_atom_mask"

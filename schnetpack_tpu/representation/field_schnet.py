@@ -158,7 +158,7 @@ class FieldSchNet(nn.Module):
 
         for t in range(self.n_interactions):
             dq = SchNetInteraction(F, F, self.activation, name=f"interaction_{t}")(
-                q, f_ij, rcut_ij, idx_i, idx_j, pair_mask
+                q, f_ij, rcut_ij, idx_i, idx_j
             )
             dq = dq + FieldInteraction(F, name=f"field_inter_{t}")(mu, field_atoms)
             for f in fields:

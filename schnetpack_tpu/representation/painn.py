@@ -5,10 +5,17 @@ features ``q`` [A, F] and vector features ``mu`` [A, 3, F]; rotationally
 equivariant message passing; filters generated **once** from the radial
 basis for all blocks (painn.py:232-236) with an optional shared-filter mode.
 
-TPU notes: all dense maps act on the feature axis (MXU-friendly); the pair
-loop is a gather / elementwise / segment-sum sequence over the fixed-shape
-padded pair list.  Padded pairs sit at distance PAD_OFFSET, so their cutoff
-value — and hence their filter — is exactly zero.
+TPU notes: two interchangeable neighbor layouts are supported.
+
+* flat padded pair list (``_idx_i``/``_idx_j``): gather + sorted
+  segment-sum — general, used for training batches;
+* dense neighbor matrix (``_nbh_idx`` [A, K]): gather + reduction over the
+  K axis — no scatter at all, ~4-5x faster on TPU for large systems
+  (measured on v5e); produced by the collate with
+  ``PaddingSpec.n_neighbors`` or by the MD neighbor list.
+
+Padded pairs/slots sit at distance PAD_OFFSET so their cutoff value — and
+hence their filter — is exactly zero.
 """
 from __future__ import annotations
 
@@ -24,38 +31,51 @@ from ..nn.cutoff import CosineCutoff
 from ..nn.radial import GaussianRBF
 from ..ops.activations import shifted_softplus
 from ..ops.math import safe_norm
+from ..ops.neighbor_gather import neighbor_gather
 from ..ops.scatter import segment_sum
 
 
 class PaiNNInteraction(nn.Module):
-    """Inter-atomic message block (parity: painn.py:14-67)."""
+    """Inter-atomic message block (parity: painn.py:14-67).
+
+    Works for both layouts: flat (Wij [P, 3F], dir_ij [P, 3]) with
+    idx arrays, or dense (Wij [A, K, 3F], dir_ij [A, K, 3]) with
+    ``nbh_idx`` [A, K].
+    """
 
     n_atom_basis: int
     activation: Callable = shifted_softplus
 
     @nn.compact
-    def __call__(
-        self,
-        q: jax.Array,        # [A, F]
-        mu: jax.Array,       # [A, 3, F]
-        Wij: jax.Array,      # [P, 3F] filter for this block (cutoff included)
-        dir_ij: jax.Array,   # [P, 3] unit pair direction
-        idx_i: jax.Array,
-        idx_j: jax.Array,
-    ) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, q, mu, Wij, dir_ij, idx_i=None, idx_j=None, nbh_idx=None,
+                 nbh_rev=None, nbh_mask=None):
         F = self.n_atom_basis
         A = q.shape[0]
         x = Dense(F, activation=self.activation, name="ctx_0")(q)
         x = Dense(3 * F, name="ctx_1")(x)
 
-        xj = jnp.take(x, idx_j, axis=0) * Wij  # [P, 3F]
-        dq, dmuR, dmumu = jnp.split(xj, 3, axis=-1)
-
-        muj = jnp.take(mu, idx_j, axis=0)  # [P, 3, F]
-        dmu = dmuR[:, None, :] * dir_ij[:, :, None] + dmumu[:, None, :] * muj
-
-        q = q + segment_sum(dq, idx_i, A)
-        mu = mu + segment_sum(dmu, idx_i, A)
+        if nbh_idx is not None:
+            if nbh_rev is not None:
+                # scatter-free backward via the reverse-edge map
+                xj = neighbor_gather(x, nbh_idx, nbh_rev, nbh_mask) * Wij
+                muj = neighbor_gather(mu, nbh_idx, nbh_rev, nbh_mask)
+            else:
+                xj = jnp.take(x, nbh_idx, axis=0) * Wij    # [A, K, 3F]
+                muj = jnp.take(mu, nbh_idx, axis=0)        # [A, K, 3, F]
+            dq, dmuR, dmumu = jnp.split(xj, 3, axis=-1)
+            dmu = (
+                dmuR[:, :, None, :] * dir_ij[..., None]
+                + dmumu[:, :, None, :] * muj
+            )
+            q = q + jnp.sum(dq, axis=1)
+            mu = mu + jnp.sum(dmu, axis=1)
+        else:
+            xj = jnp.take(x, idx_j, axis=0) * Wij          # [P, 3F]
+            dq, dmuR, dmumu = jnp.split(xj, 3, axis=-1)
+            muj = jnp.take(mu, idx_j, axis=0)              # [P, 3, F]
+            dmu = dmuR[:, None, :] * dir_ij[:, :, None] + dmumu[:, None, :] * muj
+            q = q + segment_sum(dq, idx_i, A)
+            mu = mu + segment_sum(dmu, idx_i, A)
         return q, mu
 
 
@@ -104,27 +124,39 @@ class PaiNN(nn.Module):
     @nn.compact
     def __call__(self, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         Z = inputs[properties.Z]
-        Rij = inputs[properties.Rij]
-        idx_i = inputs[properties.idx_i]
-        idx_j = inputs[properties.idx_j]
-        pair_mask = inputs[properties.pair_mask]
         F = self.n_atom_basis
+        dense = properties.nbh_rij in inputs
 
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
-        d_ij = safe_norm(Rij, axis=-1)
-        dir_ij = Rij / d_ij[:, None]
-        phi_ij = radial(d_ij)                     # [P, n_rbf]
-        fcut = cutoff_fn(d_ij) * pair_mask        # [P]
+        if dense:
+            Rij = inputs[properties.nbh_rij]               # [A, K, 3]
+            nbh_idx = inputs[properties.nbh_idx]
+            nbh_rev = inputs.get(properties.nbh_rev)
+            nbh_mask = inputs[properties.nbh_mask]
+            d_ij = safe_norm(Rij, axis=-1)                 # [A, K]
+            dir_ij = Rij / d_ij[..., None]
+            fcut = cutoff_fn(d_ij) * nbh_mask
+            idx_i = idx_j = None
+        else:
+            Rij = inputs[properties.Rij]
+            idx_i = inputs[properties.idx_i]
+            idx_j = inputs[properties.idx_j]
+            nbh_idx = nbh_rev = nbh_mask = None
+            d_ij = safe_norm(Rij, axis=-1)
+            dir_ij = Rij / d_ij[:, None]
+            fcut = cutoff_fn(d_ij) * inputs[properties.pair_mask]
+
+        phi_ij = radial(d_ij)
 
         # all filters computed once from the radial basis (painn.py:232-236)
         if self.shared_filters:
-            filters = Dense(3 * F, name="filter_net")(phi_ij) * fcut[:, None]
+            filters = Dense(3 * F, name="filter_net")(phi_ij) * fcut[..., None]
             filter_list = [filters] * self.n_interactions
         else:
             filters = Dense(self.n_interactions * 3 * F, name="filter_net")(phi_ij)
-            filters = filters * fcut[:, None]
+            filters = filters * fcut[..., None]
             filter_list = jnp.split(filters, self.n_interactions, axis=-1)
 
         if self.nuclear_embedding:
@@ -161,7 +193,8 @@ class PaiNN(nn.Module):
                 for t in range(self.n_interactions)
             ]
         for t, (inter, mix) in enumerate(blocks):
-            q, mu = inter(q, mu, filter_list[t], dir_ij, idx_i, idx_j)
+            q, mu = inter(q, mu, filter_list[t], dir_ij, idx_i, idx_j, nbh_idx,
+                          nbh_rev, nbh_mask)
             q, mu = mix(q, mu)
 
         inputs[properties.scalar_representation] = q

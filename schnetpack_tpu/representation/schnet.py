@@ -27,35 +27,42 @@ from ..nn.embedding import ElectronicEmbedding, NuclearEmbedding
 from ..nn.radial import GaussianRBF
 from ..ops.activations import shifted_softplus
 from ..ops.math import safe_norm
+from ..ops.neighbor_gather import neighbor_gather
 from ..ops.scatter import segment_sum
 
 
 class SchNetInteraction(nn.Module):
-    """One continuous-filter convolution block (parity: schnet.py:14-70)."""
+    """One continuous-filter convolution block (parity: schnet.py:14-70).
+
+    Flat layout: f_ij/rcut_ij are [P, .]/[P] with idx arrays.  Dense
+    layout: [A, K, .]/[A, K] with ``nbh_idx`` — aggregation is a K-axis
+    reduction (no scatter; the TPU-fast path).
+    """
 
     n_atom_basis: int
     n_filters: int
     activation: Callable = shifted_softplus
 
     @nn.compact
-    def __call__(
-        self,
-        x: jax.Array,       # [A, F]
-        f_ij: jax.Array,    # [P, n_rbf]
-        rcut_ij: jax.Array,  # [P]
-        idx_i: jax.Array,
-        idx_j: jax.Array,
-        pair_mask: jax.Array,
-    ) -> jax.Array:
+    def __call__(self, x, f_ij, rcut_ij, idx_i=None, idx_j=None, nbh_idx=None,
+                 nbh_rev=None, nbh_mask=None):
         A = x.shape[0]
         # filter-generating network on the radial features
         W = Dense(self.n_filters, activation=self.activation, name="filter_0")(f_ij)
         W = Dense(self.n_filters, name="filter_1")(W)
-        W = W * (rcut_ij * pair_mask)[:, None]
+        W = W * rcut_ij[..., None]
 
         h = Dense(self.n_filters, use_bias=False, name="in2f")(x)
-        m = jnp.take(h, idx_j, axis=0) * W
-        agg = segment_sum(m, idx_i, A)
+        if nbh_idx is not None:
+            if nbh_rev is not None:
+                hj = neighbor_gather(h, nbh_idx, nbh_rev, nbh_mask)
+            else:
+                hj = jnp.take(h, nbh_idx, axis=0)
+            m = hj * W                                     # [A, K, F]
+            agg = jnp.sum(m, axis=1)
+        else:
+            m = jnp.take(h, idx_j, axis=0) * W             # [P, F]
+            agg = segment_sum(m, idx_i, A)
 
         v = Dense(self.n_atom_basis, activation=self.activation, name="f2out_0")(agg)
         v = Dense(self.n_atom_basis, name="f2out_1")(v)
@@ -81,18 +88,28 @@ class SchNet(nn.Module):
     @nn.compact
     def __call__(self, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         Z = inputs[properties.Z]
-        Rij = inputs[properties.Rij]
-        idx_i = inputs[properties.idx_i]
-        idx_j = inputs[properties.idx_j]
-        pair_mask = inputs[properties.pair_mask]
+        dense = properties.nbh_rij in inputs
 
         n_filters = self.n_filters or self.n_atom_basis
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
-        d_ij = safe_norm(Rij, axis=-1)
+        if dense:
+            Rij = inputs[properties.nbh_rij]               # [A, K, 3]
+            nbh_idx = inputs[properties.nbh_idx]
+            nbh_rev = inputs.get(properties.nbh_rev)
+            nbh_mask = inputs[properties.nbh_mask]
+            idx_i = idx_j = None
+            d_ij = safe_norm(Rij, axis=-1)
+            rcut_ij = cutoff_fn(d_ij) * nbh_mask
+        else:
+            Rij = inputs[properties.Rij]
+            idx_i = inputs[properties.idx_i]
+            idx_j = inputs[properties.idx_j]
+            nbh_idx = nbh_rev = nbh_mask = None
+            d_ij = safe_norm(Rij, axis=-1)
+            rcut_ij = cutoff_fn(d_ij) * inputs[properties.pair_mask]
         f_ij = radial(d_ij)
-        rcut_ij = cutoff_fn(d_ij)
 
         if self.nuclear_embedding:
             x = NuclearEmbedding(self.n_atom_basis, max_z=self.max_z, name="embedding")(Z)
@@ -114,12 +131,12 @@ class SchNet(nn.Module):
                 self.n_atom_basis, n_filters, self.activation, name="interaction_shared"
             )
             for _ in range(self.n_interactions):
-                x = x + block(x, f_ij, rcut_ij, idx_i, idx_j, pair_mask)
+                x = x + block(x, f_ij, rcut_ij, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask)
         else:
             for t in range(self.n_interactions):
                 v = SchNetInteraction(
                     self.n_atom_basis, n_filters, self.activation, name=f"interaction_{t}"
-                )(x, f_ij, rcut_ij, idx_i, idx_j, pair_mask)
+                )(x, f_ij, rcut_ij, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask)
                 x = x + v
 
         inputs[properties.scalar_representation] = x

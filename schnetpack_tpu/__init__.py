@@ -12,4 +12,21 @@ __version__ = "0.1.0"
 
 from . import ops, properties, units
 
-__all__ = ["ops", "properties", "units", "__version__"]
+__all__ = [
+    "ops", "properties", "units", "__version__",
+    # lazily importable subpackages (kept out of eager import to keep
+    # `import schnetpack_tpu` light): atomistic, data, datasets,
+    # interfaces, md, model, nn, parallel, representation, train, transform
+]
+
+
+def __getattr__(name):
+    import importlib
+
+    _subpackages = {
+        "atomistic", "data", "datasets", "interfaces", "md", "model", "nn",
+        "parallel", "representation", "train", "transform",
+    }
+    if name in _subpackages:
+        return importlib.import_module(f".{name}", __name__)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -57,6 +57,7 @@ class AtomsDataModule:
         self.property_units = property_units
         self.padding = padding
         self.seed = seed
+        self.data_workdir = data_workdir
 
         self._transforms = list(transforms)
         self._train_transforms = list(train_transforms) if train_transforms is not None else None
@@ -85,9 +86,26 @@ class AtomsDataModule:
         return self._test_transforms if self._test_transforms is not None else self._transforms
 
     # ------------------------------------------------------------------
+    def _copy_to_workdir(self) -> str:
+        """Copy the dataset to a fast local workdir under a lock
+        (parity: datamodule.py:202-236)."""
+        import shutil
+
+        name = os.path.basename(self.datapath)
+        target = os.path.join(self.data_workdir, name)
+        with file_lock(target + ".lock"):
+            if not os.path.exists(target) or (
+                os.path.getmtime(target) < os.path.getmtime(self.datapath)
+            ):
+                os.makedirs(self.data_workdir, exist_ok=True)
+                shutil.copy2(self.datapath, target)
+        return target
+
     def setup(self, stage: Optional[str] = None):
         if self._setup_done:
             return
+        if self.data_workdir:
+            self.datapath = self._copy_to_workdir()
         self.dataset = ASEAtomsData(
             self.datapath,
             load_properties=self.load_properties,

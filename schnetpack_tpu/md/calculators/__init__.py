@@ -1,5 +1,6 @@
 from .base import MDCalculator, PairwiseMDCalculator
 from .lj import LJCalculator
+from .orca import OrcaCalculator
 from .schnetpack_calculator import (
     EnsembleCalculator,
     SchNetPackCalculator,
@@ -8,5 +9,5 @@ from .schnetpack_calculator import (
 
 __all__ = [
     "MDCalculator", "PairwiseMDCalculator", "LJCalculator",
-    "EnsembleCalculator", "SchNetPackCalculator", "stack_ensemble_params",
+    "EnsembleCalculator", "OrcaCalculator", "SchNetPackCalculator", "stack_ensemble_params",
 ]

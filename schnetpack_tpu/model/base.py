@@ -137,16 +137,24 @@ class NeuralNetworkPotential:
         )
 
         R0 = inputs[properties.R]
+        A0 = R0.shape[0]
         eps0 = jnp.zeros((M, 3, 3), dtype=dtype)
         F0 = jnp.zeros((M, 3), dtype=dtype)
+        B0 = inputs.get(properties.magnetic_field, jnp.zeros((M, 3), dtype=dtype))
+        I0 = inputs.get(
+            properties.nuclear_magnetic_moments, jnp.zeros((A0, 3), dtype=dtype)
+        )
 
-        def closure(R_, eps_, F_):
+        def closure(R_, eps_, F_, B_=B0, I_=I0):
             ins = dict(inputs)
             ins[properties.R] = R_
             if self.need["strain"]:
                 ins[properties.strain] = eps_
             if properties.electric_field in self.required_fields:
                 ins[properties.electric_field] = F_
+            if properties.magnetic_field in self.required_fields:
+                ins[properties.magnetic_field] = B_
+                ins[properties.nuclear_magnetic_moments] = I_
             out = self.core.apply(params, ins)
             E = jnp.sum(out[energy_key] * mol_mask) if energy_key in out else 0.0
             return E, out
@@ -206,6 +214,38 @@ class NeuralNetworkPotential:
                 lambda f: closure(R_, eps0, f)[0]
             )(F0)
             out[properties.dipole_derivatives] = jax.jacrev(mu_of_R)(R0)
+
+        if properties.polarizability_derivatives in props:
+            # d alpha / d R = -d3 E / dF^2 dR -> [M,3,M,3,A,3]; per-molecule
+            # diagonal extracted to [M,3,3,A,3]
+            def alpha_of_R(R_):
+                grad_F = jax.grad(lambda f: closure(R_, eps0, f)[0])
+                full = -jax.jacrev(grad_F)(F0)  # [M,3,M,3]
+                diag = jnp.diagonal(full, axis1=0, axis2=2)  # [3,3,M]
+                return jnp.moveaxis(diag, -1, 0)  # [M,3,3]
+
+            out[properties.polarizability_derivatives] = jax.jacrev(alpha_of_R)(R0)
+
+        if properties.shielding in props:
+            # sigma_a = d2 E / dB dI_a -> per-atom 3x3 shielding tensors
+            def dE_dI(B_):
+                return jax.grad(
+                    lambda I_: closure(R0, eps0, F0, B_, I_)[0]
+                )(I0)  # [A, 3]
+
+            jac = jax.jacrev(dE_dI)(B0)  # [A, 3, M, 3]
+            idx_m = inputs[properties.idx_m]
+            per_atom = jnp.take_along_axis(
+                jac, idx_m[:, None, None, None].astype(jnp.int32), axis=2
+            )[:, :, 0, :]  # [A, 3, 3]
+            out[properties.shielding] = per_atom * atom_mask[:, None, None]
+
+        if properties.nuclear_spin_coupling in props:
+            # J_ab = d2 E / dI_a dI_b -> [A, 3, A, 3]
+            grad_I = lambda I_: jax.grad(
+                lambda Ii: closure(R0, eps0, F0, B0, Ii)[0]
+            )(I_)
+            out[properties.nuclear_spin_coupling] = jax.jacrev(grad_I)(I0)
 
         do_post = self.do_postprocessing if do_postprocessing is None else do_postprocessing
         if do_post:

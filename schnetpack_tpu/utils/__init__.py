@@ -1,4 +1,6 @@
+from .compatibility import load_model, migrate_config, register_migration
 from .locking import file_lock
+from .script import log_hyperparameters, print_config
 
 
 def str2class(path: str):
@@ -22,4 +24,8 @@ def as_dtype(name: str):
     }[name]
 
 
-__all__ = ["file_lock", "str2class", "as_dtype"]
+__all__ = [
+    "file_lock", "str2class", "as_dtype",
+    "load_model", "migrate_config", "register_migration",
+    "log_hyperparameters", "print_config",
+]

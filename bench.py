@@ -40,11 +40,12 @@ def fcc_box(n_target: int, a: float = 5.26):
 
 def main():
     import jax
-    import jax.numpy as jnp
 
     from schnetpack_tpu import properties as P
     from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
-    from schnetpack_tpu.data.loader import PaddingSpec, collate, padding_for, round_up
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.md import MaxwellBoltzmannInit, Simulator, VelocityVerlet, load_molecules
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
     from schnetpack_tpu.model import NeuralNetworkPotential
     from schnetpack_tpu.representation import PaiNN
     from schnetpack_tpu.transform.neighborlist import NeighborListTransform
@@ -52,67 +53,54 @@ def main():
     cutoff = 5.0
     pos, cell = fcc_box(10_000)
     n_atoms = len(pos)
-    sample = {
+    mol = {
         P.Z: np.full(n_atoms, 18, dtype=np.int64),
         P.R: pos,
         P.cell: cell,
         P.pbc: np.ones(3, bool),
     }
-    t_nbl = time.time()
-    sample = NeighborListTransform(cutoff)(sample)
-    nbl_time = time.time() - t_nbl
-    base = padding_for([sample])
-    max_nbrs = int(np.bincount(sample[P.idx_i]).max())
-    spec = PaddingSpec(
-        base.n_atoms, base.n_pairs, base.n_molecules,
-        n_neighbors=round_up(max_nbrs, 4),
-    )
-    batch = collate([sample], spec)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
     pot = NeuralNetworkPotential(
         representation=PaiNN(n_atom_basis=128, n_interactions=3, n_rbf=20, cutoff=cutoff),
         input_modules=[PairwiseDistances()],
         output_modules=[Atomwise(output_key=P.energy), Forces()],
     )
-    params = pot.init(jax.random.PRNGKey(0), batch)
+    # init params on a tiny probe batch (cheap)
+    probe = NeighborListTransform(cutoff)(
+        {P.Z: mol[P.Z][:32], P.R: mol[P.R][:32], P.cell: np.zeros((3, 3)),
+         P.pbc: np.zeros(3, bool)}
+    )
+    params = pot.init(jax.random.PRNGKey(0), collate([probe], PaddingSpec(48, 1024, 2)))
 
-    n_iter = 30
+    system = load_molecules([mol])
+    system = MaxwellBoltzmannInit(30.0).initialize_system(system, jax.random.PRNGKey(1))
+    calc = SchNetPackCalculator(
+        pot, params, cutoff=cutoff, cutoff_shell=0.3, neighbor_list="dense",
+    )
+    sim = Simulator(system, VelocityVerlet(1.0), calc, progress=False,
+                    log_keys=("energy", "temperature"))
 
-    def chained(R0):
-        def body(R, _):
-            b = dict(batch)
-            b[P.R] = R
-            F = pot.apply(params, b)[P.forces]
-            return R + 1e-7 * F, None  # sequential dependency, tiny drift
-
-        R, _ = jax.lax.scan(body, R0, None, length=n_iter)
-        return R
-
-    run = jax.jit(chained)
-    # compile + warmup with different data than the timed run
-    jax.block_until_ready(run(batch[P.R] + 1e-5))
-    R_in = batch[P.R]
+    # warmup chunk (compile) — same chunk size as the timed region, since
+    # the scan length is a static argument
+    sim.simulate(30, chunk_size=30)
+    n_steps = 90
     t0 = time.time()
-    out = run(R_in)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / n_iter
+    sim.simulate(n_steps, chunk_size=30)
+    dt = (time.time() - t0) / n_steps
 
     atom_steps = n_atoms / dt
     print(
         json.dumps(
             {
-                "metric": "painn_force_eval_atom_steps_per_sec_10k_atoms",
+                "metric": "painn_md_atom_steps_per_sec_10k_atoms",
                 "value": round(atom_steps, 1),
                 "unit": "atom-steps/s",
                 "vs_baseline": round(atom_steps / BASELINE_ATOM_STEPS, 4),
                 "detail": {
                     "n_atoms": int(n_atoms),
-                    "n_pairs": int(np.asarray(batch[P.pair_mask]).sum()),
                     "ms_per_step": round(dt * 1e3, 3),
-                    "host_nbl_s": round(nbl_time, 2),
-                    "layout": "dense",
-                    "timing": "chained-scan",
+                    "what": "full NVE MD loop (PaiNN-128x3, dense NBL + skin)",
+                    "timing": "lax.scan chunks, sequential dependency",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -95,8 +95,18 @@ class MDCalculator:
             )
         return system.replace(**updates)
 
-    def calculate(self, system: System) -> System:
+    def calculate(self, system: System, calc_state=None) -> System:
         raise NotImplementedError
+
+    def init_state(self, system: System):
+        """Optional device-side calculator state carried through the scan
+        (e.g. a dense neighbor matrix); None by default."""
+        return None
+
+    def update_state(self, system: System, calc_state):
+        """Host-side between-chunk refresh (e.g. skin-based NBL rebuild).
+        Returns the (possibly new) state; shapes must stay fixed."""
+        return calc_state
 
 
 class PairwiseMDCalculator(MDCalculator):

@@ -66,7 +66,7 @@ class LJCalculator(PairwiseMDCalculator):
         e_atom = segment_sum(e_pair, idx_i, positions.shape[0])
         return segment_sum(e_atom * atom_mask, idx_m, n_mol)
 
-    def calculate(self, system: System) -> System:
+    def calculate(self, system: System, calc_state=None) -> System:
         inputs = self._get_system_molecules(system)
         pair_inputs = self._pair_inputs(system)
         R_, A, M = system.n_replicas, system.total_atoms, system.n_molecules

@@ -74,7 +74,7 @@ class OrcaCalculator(MDCalculator):
             )
         return self.parser.parse(out_file)
 
-    def calculate(self, system: System) -> System:
+    def calculate(self, system: System, calc_state=None) -> System:
         """Evaluate every molecule x replica with ORCA (host side)."""
         R_, A, M = system.n_replicas, system.total_atoms, system.n_molecules
         pos = np.asarray(system.positions) / self.position_conversion  # -> Ang

@@ -37,6 +37,7 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         stress_key: Optional[str] = None,
         cutoff_shell: float = 0.0,
         required_properties: List[str] = (),
+        neighbor_list: str = "all_pairs",  # "all_pairs" | "dense"
     ):
         super().__init__(
             cutoff=cutoff,
@@ -50,14 +51,52 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         )
         self.model = model
         self.params = params
+        self.nbl_mode = neighbor_list
+        if neighbor_list == "dense":
+            from ..neighborlist_md import DenseNeighborListMD
 
-    def _model_inputs(self, system: System) -> Dict[str, jax.Array]:
+            # skin = cutoff_shell (model units) converted to MD units
+            self.dense_nbl = DenseNeighborListMD(
+                cutoff * self.position_conversion,
+                skin=max(cutoff_shell, 0.5) * self.position_conversion,
+            )
+        else:
+            self.dense_nbl = None
+
+    # --- dense-NBL state plumbing (scan-carried, host-refreshed) --------
+    def init_state(self, system: System):
+        if self.dense_nbl is None:
+            return None
+        self.dense_nbl.build(system)
+        return self.dense_nbl.state()
+
+    def update_state(self, system: System, calc_state):
+        if self.dense_nbl is None:
+            return calc_state
+        if self.dense_nbl.maybe_rebuild(system):
+            return self.dense_nbl.state()
+        return calc_state
+
+    def _model_inputs(self, system: System, calc_state=None) -> Dict[str, jax.Array]:
         inputs = self._get_system_molecules(system)
-        inputs.update(self._pair_inputs(system))
+        if calc_state is not None:
+            inv = 1.0 / self.position_conversion
+            inputs[structure.nbh_idx] = calc_state[structure.nbh_idx]
+            inputs[structure.nbh_mask] = calc_state[structure.nbh_mask]
+            inputs[structure.nbh_rev] = calc_state[structure.nbh_rev]
+            inputs[structure.nbh_offsets] = calc_state[structure.nbh_offsets] * inv
+            # the model also expects a (possibly empty) flat pair list
+            dt = inputs[structure.R].dtype
+            inputs.setdefault(structure.idx_i, jnp.zeros(1, jnp.int32))
+            inputs.setdefault(structure.idx_j, jnp.zeros(1, jnp.int32))
+            inputs.setdefault(structure.offsets, jnp.full((1, 3), 1e3, dt))
+            inputs.setdefault(structure.pair_mask, jnp.zeros(1, dt))
+        else:
+            inputs.update(self._pair_inputs(system))
         return inputs
 
-    def calculate(self, system: System) -> System:
-        inputs = self._model_inputs(system)
+    def calculate(self, system: System, calc_state=None) -> System:
+        inputs = self._model_inputs(system, calc_state)
         outputs = self.model.apply(self.params, inputs, do_postprocessing=False)
         return self._update_system(system, outputs)
 
@@ -73,8 +112,8 @@ class EnsembleCalculator(SchNetPackCalculator):
     def __init__(self, model, stacked_params, cutoff: float, **kwargs):
         super().__init__(model, stacked_params, cutoff, **kwargs)
 
-    def calculate(self, system: System) -> System:
-        inputs = self._model_inputs(system)
+    def calculate(self, system: System, calc_state=None) -> System:
+        inputs = self._model_inputs(system, calc_state)
 
         def run_one(params):
             return self.model.apply(params, inputs, do_postprocessing=False)

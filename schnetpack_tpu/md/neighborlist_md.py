@@ -28,6 +28,113 @@ from .. import properties as structure
 from .system import System
 
 
+class DenseNeighborListMD:
+    """Dense [A, K] neighbor matrix with a Verlet skin for large systems.
+
+    The index set is built on the host with the native C++ cell list
+    (cutoff + skin) and stays FIXED inside a scan chunk; per step the model
+    only recomputes displacements/cutoff masks on device.  The simulator
+    calls ``maybe_rebuild`` between chunks: if any atom moved more than
+    skin/2 since the last build, the matrix is rebuilt (parity with the
+    reference's skin heuristic, ``md/neighborlist_md.py:55-98``, minus the
+    per-step device->host round trip).
+    """
+
+    def __init__(self, cutoff: float, skin: float = 1.0, k_multiple: int = 4,
+                 headroom: float = 1.15):
+        self.cutoff = float(cutoff)
+        self.skin = float(skin)
+        self.k_multiple = k_multiple
+        self.headroom = headroom
+        self._nbh = None          # jnp [A, K]
+        self._offsets = None      # jnp [A, K, 3]
+        self._mask = None         # jnp [A, K]
+        self._build_positions = None  # np [R, A, 3]
+
+    def build(self, system: System) -> None:
+        from ..transform.neighborlist import cell_list_neighbor_list
+
+        R_np = np.asarray(jax.device_get(system.positions))
+        if system.n_replicas != 1:
+            raise NotImplementedError(
+                "DenseNeighborListMD currently supports n_replicas == 1; "
+                "use AllPairsNeighborListMD for RPMD"
+            )
+        cells = np.asarray(jax.device_get(system.cells))[0]
+        pbc = np.asarray(jax.device_get(system.pbc))
+        idx_m = np.asarray(jax.device_get(system.idx_m))
+        A = R_np.shape[1]
+
+        # per-molecule neighbor lists merged into one [A, K] matrix
+        ii_all, jj_all, off_all = [], [], []
+        for m in np.unique(idx_m):
+            sel = np.nonzero(idx_m == m)[0]
+            sub_pbc = pbc[m]
+            sub_cell = cells[m] if sub_pbc.any() else None
+            i, j, S = cell_list_neighbor_list(
+                R_np[0, sel], self.cutoff + self.skin,
+                sub_cell, sub_pbc if sub_pbc.any() else None,
+            )
+            ii_all.append(sel[i])
+            jj_all.append(sel[j])
+            off = S.astype(np.float64) @ sub_cell if sub_cell is not None else np.zeros((len(i), 3))
+            off_all.append(off)
+        ii = np.concatenate(ii_all)
+        jj = np.concatenate(jj_all)
+        off = np.concatenate(off_all)
+        order = np.argsort(ii, kind="stable")
+        ii, jj, off = ii[order], jj[order], off[order]
+
+        counts = np.bincount(ii, minlength=A)
+        max_count = int(counts.max(initial=1))
+        # generous headroom on the FIRST build: K changes force a recompile
+        # of the whole scan, so leave room for densification under motion
+        K = int(-(-int(max_count * self.headroom + 1) // self.k_multiple) * self.k_multiple)
+        # keep K stable across rebuilds so the compiled scan is reused
+        if self._nbh is not None and self._nbh.shape[1] >= K:
+            K = self._nbh.shape[1]
+        starts = np.zeros(A + 1, np.int64)
+        np.cumsum(counts, out=starts[1:])
+        slots = np.arange(len(ii)) - starts[ii]
+        nbh = np.full((A, K), A - 1, np.int32)
+        mask = np.zeros((A, K), np.float32)
+        offs = np.zeros((A, K, 3), np.float64)
+        nbh[ii, slots] = jj
+        offs[ii, slots] = off
+        mask[ii, slots] = 1.0
+
+        from ..ops.neighbor_gather import build_reverse_map
+
+        rev = build_reverse_map(ii, jj, off, slots, A, K)
+
+        dtype = system.positions.dtype
+        self._nbh = jnp.asarray(nbh)
+        self._offsets = jnp.asarray(offs, dtype)
+        self._mask = jnp.asarray(mask, dtype)
+        self._rev = jnp.asarray(rev)
+        self._build_positions = R_np.copy()
+
+    def maybe_rebuild(self, system: System) -> bool:
+        if self._nbh is None:
+            self.build(system)
+            return True
+        R_np = np.asarray(jax.device_get(system.positions))
+        disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
+        if disp2 > (self.skin / 2.0) ** 2:
+            self.build(system)
+            return True
+        return False
+
+    def state(self) -> Dict[str, jax.Array]:
+        """The device arrays the scan carries (rebuilt between chunks)."""
+        return {
+            structure.nbh_idx: self._nbh,
+            structure.nbh_offsets: self._offsets,
+            structure.nbh_mask: self._mask,
+            structure.nbh_rev: self._rev,
+        }
+
+
 class AllPairsNeighborListMD:
     """Static all-pairs (same-molecule) index set + per-step device masking."""
 

@@ -31,6 +31,7 @@ class SimulatorState(flax.struct.PyTreeNode):
     hook_states: Tuple
     key: jax.Array
     step: jax.Array
+    calc_state: Any = None
 
 
 def _is_device_hook(h) -> bool:
@@ -67,7 +68,11 @@ class Simulator:
     @property
     def state(self) -> SimulatorState:
         if self._state is None:
-            system = self.calculator.calculate(self.system)
+            calc_state = (
+                self.calculator.init_state(self.system)
+                if hasattr(self.calculator, "init_state") else None
+            )
+            system = self.calculator.calculate(self.system, calc_state)
             hook_states = tuple(
                 h.init_state(system, self.integrator.dt) for h in self.device_hooks
             )
@@ -76,6 +81,7 @@ class Simulator:
                 hook_states=hook_states,
                 key=self.key,
                 step=jnp.zeros((), jnp.int32),
+                calc_state=calc_state,
             )
         return self._state
 
@@ -105,7 +111,7 @@ class Simulator:
 
             system = self.integrator.half_step(system)
             system = self.integrator.main_step(system)
-            system = self.calculator.calculate(system)
+            system = self.calculator.calculate(system, state.calc_state)
             system = self.integrator.half_step(system)
 
             # on_step_end in reverse order (propagator symmetry)
@@ -119,6 +125,7 @@ class Simulator:
                 hook_states=tuple(hook_states),
                 key=key,
                 step=state.step + 1,
+                calc_state=state.calc_state,
             )
             return new_state, self._log_record(system)
 
@@ -151,6 +158,12 @@ class Simulator:
             remaining -= n
             for h in self.host_hooks:
                 h.process_chunk(self, logs_np, start)
+            # host-side calculator refresh (e.g. skin-based NBL rebuild)
+            if hasattr(self.calculator, "update_state") and state.calc_state is not None:
+                new_cs = self.calculator.update_state(state.system, state.calc_state)
+                if new_cs is not state.calc_state:
+                    state = state.replace(calc_state=new_cs)
+                    self._state = state
             if self.progress:
                 rate = self.n_simulated / max(time.time() - t0, 1e-9)
                 T = float(np.mean(logs_np.get("temperature", np.zeros(1))[-1]))

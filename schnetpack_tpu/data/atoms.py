@@ -155,6 +155,10 @@ class ASEAtomsData:
                 src = self._property_units_src.get(p)
                 if src is not None:
                     self._prop_conv[p] = convert_units(src, u)
+        # atomrefs must live in the same units as the (converted) property
+        for p, conv in self._prop_conv.items():
+            if p in self.atomrefs:
+                self.atomrefs[p] = self.atomrefs[p] * conv
 
     # -- connection handling (lazy, fork-safe) --------------------------
     @property

@@ -1,4 +1,9 @@
-from .barostats import BarostatHook, NHCBarostatIsotropic, PILEBarostat
+from .barostats import (
+    BarostatHook,
+    NHCBarostatAnisotropic,
+    NHCBarostatIsotropic,
+    PILEBarostat,
+)
 from .basic_hooks import DeviceHook, RemoveCOMMotion, SimulationHook, WrapPositions
 from .callback_hooks import Checkpoint, FileLogger, TensorBoardLoggerMD
 from .thermostats import (
@@ -18,7 +23,7 @@ from .thermostats_rpmd import (
 )
 
 __all__ = [
-    "BarostatHook", "NHCBarostatIsotropic", "PILEBarostat",
+    "BarostatHook", "NHCBarostatAnisotropic", "NHCBarostatIsotropic", "PILEBarostat",
     "DeviceHook", "RemoveCOMMotion", "SimulationHook", "WrapPositions",
     "Checkpoint", "FileLogger", "TensorBoardLoggerMD",
     "BerendsenThermostat", "GLEThermostat", "LangevinThermostat",

@@ -153,6 +153,106 @@ class NHCBarostatIsotropic(BarostatHook):
         return new_state, system
 
 
+def _sym_expm_weighted(v: jax.Array, dt: float, sinh_weight: bool):
+    """exp(dt v) (and the sinh(x)/x-weighted variant) for symmetric [..,3,3]
+    matrices via eigendecomposition."""
+    w, U = jnp.linalg.eigh(v)
+    e = jnp.exp(dt * w)
+    expm = jnp.einsum("...ik,...k,...jk->...ij", U, e, U)
+    if not sinh_weight:
+        return expm
+    weight = jnp.exp(0.5 * dt * w) * stable_sinh_div(0.5 * dt * w)
+    wm = jnp.einsum("...ik,...k,...jk->...ij", U, weight, U)
+    return expm, wm
+
+
+class NHCBarostatAnisotropic(NHCBarostatIsotropic):
+    """Fully flexible-cell MTK barostat (parity: barostats.py:707-926).
+
+    The cell momentum is a symmetric tensor v_g [R, M, 3, 3]; the particle
+    and cell updates use matrix exponentials of v_g (computed by
+    eigendecomposition of the 3x3 blocks — negligible cost).
+    """
+
+    def init_state(self, system: System, dt: float):
+        state = super().init_state(system, dt)
+        state["v_g"] = jnp.zeros(
+            system.energy.shape + (3, 3), system.momenta.dtype
+        )
+        self.__dict__["_state_ref"] = dict(state)
+        return state
+
+    def _g_g(self, state, system: System) -> jax.Array:
+        """Cell-momentum force: (V(P_int - P_ext I) + 2KE/dof I)/W."""
+        dof = jnp.maximum(system.degrees_of_freedom[None, :], 1.0)
+        V = jnp.maximum(system.volume, 1e-12)
+        eye = jnp.eye(3, dtype=system.momenta.dtype)
+        # internal pressure tensor: kinetic part + potential (−stress)
+        p_int = (
+            2.0 * system.kinetic_energy_tensor / V[..., None, None]
+            - system.stress
+        )
+        ke2 = 2.0 * system.kinetic_energy
+        num = (
+            V[..., None, None] * (p_int - self.target_pressure * eye)
+            + (ke2 / dof)[..., None, None] * eye
+        )
+        return num / state["W"][..., None, None]
+
+    def apply(self, state, system, key, dt):
+        kBT = md_units().kB * self.temperature_bath
+        nhc_state, system = self.particle_nhc.apply(
+            state["particle_nhc"], system, key, dt
+        )
+        v_g, W = state["v_g"], state["W"]
+        xi, q = state["xi_cell"], state["q_cell"]
+        # NH thermostat on the cell-momentum kinetic energy (9 dof)
+        ke_cell = W[..., None, None] * v_g * v_g
+        g_cell = (jnp.sum(ke_cell, axis=(-2, -1)) - 9.0 * kBT) / q
+        xi = xi + 0.25 * dt * g_cell
+        v_g = v_g * jnp.exp(-0.5 * dt * xi)[..., None, None]
+        g_cell = (jnp.sum(W[..., None, None] * v_g * v_g, axis=(-2, -1)) - 9.0 * kBT) / q
+        xi = xi + 0.25 * dt * g_cell
+        # MTK force update (half kick per application), symmetrized
+        v_g = v_g + 0.5 * dt * self._g_g(state, system)
+        v_g = 0.5 * (v_g + jnp.swapaxes(v_g, -1, -2))
+        new_state = {
+            **state, "particle_nhc": nhc_state, "v_g": v_g, "xi_cell": xi,
+        }
+        self.__dict__["_state_ref"] = new_state
+        return new_state, system
+
+    def propagate_half_step(self, system: System, dt: float) -> System:
+        state = self._live_state
+        v_g = state["v_g"]
+        dof = jnp.maximum(system.degrees_of_freedom[None, :], 1.0)
+        eye = jnp.eye(3, dtype=system.momenta.dtype)
+        trace = jnp.trace(v_g, axis1=-2, axis2=-1)
+        v_eff = v_g + (trace / dof)[..., None, None] * eye  # [R, M, 3, 3]
+        decay, kick_w = _sym_expm_weighted(-v_eff, 0.5 * dt, sinh_weight=True)
+        decay_a = system.expand_atoms(decay)      # [R, A, 3, 3]
+        kick_a = system.expand_atoms(kick_w)
+        p = (
+            jnp.einsum("raij,raj->rai", decay_a, system.momenta)
+            + 0.5 * dt * jnp.einsum("raij,raj->rai", kick_a, system.forces)
+        )
+        return system.replace(momenta=p * system.atom_mask[None, :, None])
+
+    def propagate_main_step(self, system: System, dt: float) -> System:
+        state = self._live_state
+        v_g = state["v_g"]
+        grow, drift_w = _sym_expm_weighted(v_g, dt, sinh_weight=True)
+        grow_a = system.expand_atoms(grow)
+        drift_a = system.expand_atoms(drift_w)
+        v = system.momenta / system.masses[None, :, None]
+        q = (
+            jnp.einsum("raij,raj->rai", grow_a, system.positions)
+            + dt * jnp.einsum("raij,raj->rai", drift_a, v)
+        )
+        cells = jnp.einsum("rmij,rmkj->rmki", grow, system.cells)
+        return system.replace(positions=q, cells=cells)
+
+
 class PILEBarostat(BarostatHook):
     """Stochastic (Langevin) isotropic barostat for RPMD
     (parity: barostats_rpmd.py:21-208)."""

@@ -90,3 +90,28 @@ def test_gle_thermostat_equilibrates(tmp_path):
     _, logs = sim._scan(sim.state, 500)
     T_mean = float(np.mean(np.asarray(logs["temperature"])[200:]))
     assert 0.5 * target < T_mean < 1.6 * target
+
+
+def test_npt_anisotropic_stable():
+    from schnetpack_tpu.md.simulation_hooks import NHCBarostatAnisotropic
+
+    system = load_molecules([argon_fcc()], dtype=jnp.float64)
+    system = MaxwellBoltzmannInit(20.0).initialize_system(system, jax.random.PRNGKey(0))
+    v0 = float(system.volume[0, 0])
+
+    barostat = NHCBarostatAnisotropic(
+        target_pressure=20000.0, temperature_bath=20.0,
+        time_constant=20.0, time_constant_barostat=50.0,
+    )
+    integ = NPTVelocityVerlet(1.0, barostat)
+    sim = Simulator(system, integ, _lj(), simulator_hooks=[barostat], progress=False)
+    sim.simulate(200, chunk_size=100)
+    s = sim.state.system
+    assert np.isfinite(np.asarray(s.positions)).all()
+    assert np.isfinite(np.asarray(s.cells)).all()
+    v1 = float(s.volume[0, 0])
+    assert v1 < v0  # compresses under 20 kbar
+    assert v1 > 0.5 * v0
+    # cell stays roughly symmetric-positive (no inversion)
+    cell = np.asarray(s.cells[0, 0])
+    assert np.linalg.det(cell) > 0

@@ -6,6 +6,7 @@ from .ase_interface import (
     SpkCalculator,
     SpkEnsembleCalculator,
 )
+from .torch_import import import_painn, import_schnet, import_torch_model
 from .batchwise import (
     ASEBatchwiseLBFGS,
     BatchwiseCalculator,
@@ -18,4 +19,5 @@ __all__ = [
     "RelativeUncertainty", "SpkCalculator", "SpkEnsembleCalculator",
     "ASEBatchwiseLBFGS", "BatchwiseCalculator", "BatchwiseEnsembleCalculator",
     "batchwise_lbfgs",
+    "import_painn", "import_schnet", "import_torch_model",
 ]

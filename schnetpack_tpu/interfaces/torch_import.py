@@ -1,0 +1,284 @@
+"""Import trained reference (torch) SchNetPack models.
+
+Migration path for users of the reference framework: load a pickled
+``NeuralNetworkPotential`` (the ``best_inference_model`` / ``*.model``
+artifacts the reference's ModelCheckpoint and spkdeploy produce), map its
+weights onto the equivalent flax modules here, and get a jittable
+(model, params) pair — no torch in the inference path afterwards.
+
+Unpickling does NOT require the schnetpack package: a meta-path stub
+fabricates empty ``nn.Module`` subclasses for every ``schnetpack.*`` class
+(pickle restores instances without calling ``__init__``), which is enough
+to read the parameter tree and the hyperparameters stored on the modules.
+
+Supported representations: PaiNN, SchNet.  The mapping covers the
+representation, Atomwise output heads, and the AddOffsets postprocessor
+(atomref + mean).
+"""
+from __future__ import annotations
+
+import importlib.abc
+import importlib.machinery
+import sys
+import types
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_cache: Dict[str, type] = {}
+
+
+def _stub_class(attr: str):
+    if attr not in _cache:
+        import torch.nn as nn
+
+        _cache[attr] = type(attr, (nn.Module,), {})
+    return _cache[attr]
+
+
+class _StubLoader(importlib.abc.Loader):
+    def create_module(self, spec):
+        mod = types.ModuleType(spec.name)
+        mod.__path__ = []
+        mod.__getattr__ = _stub_class
+        return mod
+
+    def exec_module(self, module):
+        pass
+
+
+class _StubFinder(importlib.abc.MetaPathFinder):
+    def find_spec(self, name, path=None, target=None):
+        if name == "schnetpack" or name.startswith("schnetpack."):
+            if name in sys.modules:
+                return None
+            return importlib.machinery.ModuleSpec(name, _StubLoader(), is_package=True)
+        return None
+
+
+def load_torch_model(path: str):
+    """Unpickle a reference model -> (numpy state dict, info dict)."""
+    import torch
+
+    finder = _StubFinder()
+    sys.meta_path.insert(0, finder)
+    try:
+        m = torch.load(path, map_location="cpu", weights_only=False)
+    finally:
+        sys.meta_path.remove(finder)
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    rep = m.representation
+    info = {
+        "representation": type(rep).__name__,
+        "cutoff": float(sd.get("representation.cutoff_fn.cutoff", [5.0])[0]),
+        "n_rbf": int(sd["representation.radial_basis.offsets"].shape[0])
+        if "representation.radial_basis.offsets" in sd else 20,
+        "n_atom_basis": int(sd["representation.embedding.weight"].shape[1]),
+        "max_z": int(sd["representation.embedding.weight"].shape[0]) - 1,
+        "atomref": sd.get("postprocessors.1.atomref"),
+        "mean": sd.get("postprocessors.1.mean"),
+    }
+    # count interaction blocks
+    n_int = 0
+    while any(k.startswith(f"representation.interactions.{n_int}.") for k in sd):
+        n_int += 1
+    info["n_interactions"] = n_int or 3
+    return sd, info
+
+
+def _set(params_flat, path: Tuple[str, ...], value: np.ndarray, transpose=False):
+    target = params_flat[path]
+    v = value.T if transpose else value
+    if target.shape != v.shape:
+        raise ValueError(f"shape mismatch at {'/'.join(path)}: {target.shape} vs {v.shape}")
+    params_flat[path] = v.astype(np.asarray(target).dtype)
+
+
+def import_painn(path: str, energy_key: str = "energy", calc_forces: bool = True):
+    """(model, params) from a reference-trained PaiNN potential."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from .. import properties as P
+    from ..atomistic import Atomwise, Forces, PairwiseDistances
+    from ..data.loader import PaddingSpec, collate
+    from ..model import NeuralNetworkPotential
+    from ..representation import PaiNN
+    from ..transform import AddOffsets
+    from ..transform.neighborlist import NeighborListTransform
+
+    sd, info = load_torch_model(path)
+    if info["representation"] != "PaiNN":
+        raise ValueError(f"not a PaiNN model: {info['representation']}")
+
+    F = info["n_atom_basis"]
+    n_int = info["n_interactions"]
+    postprocessors = []
+    if info["atomref"] is not None:
+        atomref = np.zeros(101)
+        atomref[: len(info["atomref"])] = info["atomref"]
+        postprocessors.append(
+            AddOffsets(energy_key, add_mean=info["mean"] is not None,
+                       add_atomrefs=True, atomrefs=atomref,
+                       property_mean=float(info["mean"]) if info["mean"] is not None else None)
+        )
+
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(
+            n_atom_basis=F, n_interactions=n_int, n_rbf=info["n_rbf"],
+            cutoff=info["cutoff"], max_z=info["max_z"],
+            activation=jax.nn.silu, shared_filters=False,
+        ),
+        input_modules=[PairwiseDistances()],
+        output_modules=[
+            Atomwise(output_key=energy_key, activation=jax.nn.silu),
+            *([Forces(energy_key=energy_key)] if calc_forces else []),
+        ],
+        postprocessors=postprocessors,
+    )
+
+    # initialize to get the parameter tree, then overwrite
+    probe = {
+        P.Z: np.array([6, 1]), P.R: np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+        P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool),
+    }
+    probe = NeighborListTransform(info["cutoff"])(probe)
+    batch = collate([probe], PaddingSpec(8, 16, 2))
+    params = pot.init(jax.random.PRNGKey(0), batch)
+    flat = flatten_dict(params["params"])
+
+    rep = ("representation",)
+    _set(flat, rep + ("embedding", "embedding"), sd["representation.embedding.weight"])
+    _set(flat, rep + ("filter_net", "linear", "kernel"),
+         sd["representation.filter_net.weight"], transpose=True)
+    _set(flat, rep + ("filter_net", "linear", "bias"),
+         sd["representation.filter_net.bias"])
+    for t in range(n_int):
+        base = f"representation.interactions.{t}.interatomic_context_net"
+        _set(flat, rep + (f"interaction_{t}", "ctx_0", "linear", "kernel"),
+             sd[f"{base}.0.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "ctx_0", "linear", "bias"),
+             sd[f"{base}.0.bias"])
+        _set(flat, rep + (f"interaction_{t}", "ctx_1", "linear", "kernel"),
+             sd[f"{base}.1.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "ctx_1", "linear", "bias"),
+             sd[f"{base}.1.bias"])
+        mbase = f"representation.mixings.{t}" if f"representation.mixings.{t}.mu_channel_mix.weight" in sd else f"representation.mixing.{t}"
+        _set(flat, rep + (f"mixing_{t}", "channel_mix", "linear", "kernel"),
+             sd[f"{mbase}.mu_channel_mix.weight"], transpose=True)
+        _set(flat, rep + (f"mixing_{t}", "intra_0", "linear", "kernel"),
+             sd[f"{mbase}.intraatomic_context_net.0.weight"], transpose=True)
+        _set(flat, rep + (f"mixing_{t}", "intra_0", "linear", "bias"),
+             sd[f"{mbase}.intraatomic_context_net.0.bias"])
+        _set(flat, rep + (f"mixing_{t}", "intra_1", "linear", "kernel"),
+             sd[f"{mbase}.intraatomic_context_net.1.weight"], transpose=True)
+        _set(flat, rep + (f"mixing_{t}", "intra_1", "linear", "bias"),
+             sd[f"{mbase}.intraatomic_context_net.1.bias"])
+
+    _import_atomwise(flat, sd, prefix="output_modules.0.outnet")
+    params = {"params": unflatten_dict(flat)}
+    params = jax.tree.map(jnp.asarray, params)
+    return pot, params, info
+
+
+def _import_atomwise(flat, sd, prefix: str):
+    from flax.traverse_util import flatten_dict
+
+    head = ("output_modules_0", "outnet")
+    i = 0
+    while f"{prefix}.{i}.weight" in sd:
+        _set(flat, head + (f"dense_{i}", "linear", "kernel"),
+             sd[f"{prefix}.{i}.weight"], transpose=True)
+        _set(flat, head + (f"dense_{i}", "linear", "bias"), sd[f"{prefix}.{i}.bias"])
+        i += 1
+
+
+def import_schnet(path: str, energy_key: str = "energy", calc_forces: bool = True):
+    """(model, params) from a reference-trained SchNet potential."""
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from .. import properties as P
+    from ..atomistic import Atomwise, Forces, PairwiseDistances
+    from ..data.loader import PaddingSpec, collate
+    from ..model import NeuralNetworkPotential
+    from ..representation import SchNet
+    from ..transform import AddOffsets
+    from ..transform.neighborlist import NeighborListTransform
+
+    sd, info = load_torch_model(path)
+    if info["representation"] != "SchNet":
+        raise ValueError(f"not a SchNet model: {info['representation']}")
+    F = info["n_atom_basis"]
+    n_int = info["n_interactions"]
+
+    postprocessors = []
+    if info["atomref"] is not None:
+        atomref = np.zeros(101)
+        atomref[: len(info["atomref"])] = info["atomref"]
+        postprocessors.append(
+            AddOffsets(energy_key, add_mean=info["mean"] is not None,
+                       add_atomrefs=True, atomrefs=atomref,
+                       property_mean=float(info["mean"]) if info["mean"] is not None else None)
+        )
+    pot = NeuralNetworkPotential(
+        representation=SchNet(
+            n_atom_basis=F, n_interactions=n_int, n_rbf=info["n_rbf"],
+            cutoff=info["cutoff"], max_z=info["max_z"], activation=jax.nn.silu,
+        ),
+        input_modules=[PairwiseDistances()],
+        output_modules=[
+            Atomwise(output_key=energy_key, activation=jax.nn.silu),
+            *([Forces(energy_key=energy_key)] if calc_forces else []),
+        ],
+        postprocessors=postprocessors,
+    )
+    probe = {
+        P.Z: np.array([6, 1]), P.R: np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+        P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool),
+    }
+    probe = NeighborListTransform(info["cutoff"])(probe)
+    batch = collate([probe], PaddingSpec(8, 16, 2))
+    params = pot.init(jax.random.PRNGKey(0), batch)
+    flat = flatten_dict(params["params"])
+    rep = ("representation",)
+    _set(flat, rep + ("embedding", "embedding"), sd["representation.embedding.weight"])
+    for t in range(n_int):
+        b = f"representation.interactions.{t}"
+        _set(flat, rep + (f"interaction_{t}", "filter_0", "linear", "kernel"),
+             sd[f"{b}.filter_network.0.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "filter_0", "linear", "bias"),
+             sd[f"{b}.filter_network.0.bias"])
+        _set(flat, rep + (f"interaction_{t}", "filter_1", "linear", "kernel"),
+             sd[f"{b}.filter_network.1.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "filter_1", "linear", "bias"),
+             sd[f"{b}.filter_network.1.bias"])
+        _set(flat, rep + (f"interaction_{t}", "in2f", "linear", "kernel"),
+             sd[f"{b}.in2f.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "f2out_0", "linear", "kernel"),
+             sd[f"{b}.f2out.0.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "f2out_0", "linear", "bias"),
+             sd[f"{b}.f2out.0.bias"])
+        _set(flat, rep + (f"interaction_{t}", "f2out_1", "linear", "kernel"),
+             sd[f"{b}.f2out.1.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "f2out_1", "linear", "bias"),
+             sd[f"{b}.f2out.1.bias"])
+    _import_atomwise(flat, sd, prefix="output_modules.0.outnet")
+    params = {"params": unflatten_dict(flat)}
+    params = jax.tree.map(jnp.asarray, params)
+    return pot, params, info
+
+
+def import_torch_model(path: str, **kwargs):
+    """Dispatch on the representation class of the pickled model."""
+    _, info = load_torch_model(path)
+    if info["representation"] == "PaiNN":
+        return import_painn(path, **kwargs)
+    if info["representation"] == "SchNet":
+        return import_schnet(path, **kwargs)
+    raise NotImplementedError(
+        f"weight import for {info['representation']} is not supported yet"
+    )

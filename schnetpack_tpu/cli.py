@@ -158,6 +158,11 @@ def load_model(model_dir: str):
 
 def main(argv: Optional[List[str]] = None):
     argv = list(sys.argv[1:] if argv is None else argv)
+    # console-script entry points encode the command in the program name
+    prog = os.path.basename(sys.argv[0]) if sys.argv else ""
+    implied = {"spktrain": "train", "spkpredict": "predict"}.get(prog)
+    if implied:
+        argv = [implied] + argv
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         return

@@ -146,12 +146,6 @@ class Composer:
         return cfg
 
 
-def _is_top_level(sub: Dict, key: str) -> bool:
-    """Group configs may either define the node body or a full top-level
-    patch (hydra ``# @package _global_`` convention via a marker key)."""
-    return sub.pop("_global_", False) if isinstance(sub, dict) else False
-
-
 _INTERP = re.compile(r"\$\{([^}]+)\}")
 
 

@@ -53,24 +53,37 @@ class SO3Convolution(nn.Module):
     def __call__(
         self,
         x: jax.Array,        # [A, n_lm, F]
-        radial_ij: jax.Array,  # [P, n_radial]
-        dir_ij: jax.Array,     # [P, 3]
-        cutoff_ij: jax.Array,  # [P] (mask folded in)
-        idx_i: jax.Array,
-        idx_j: jax.Array,
+        radial_ij: jax.Array,  # [P, n_radial] or dense [A, K, n_radial]
+        dir_ij: jax.Array,     # [P, 3] or [A, K, 3]
+        cutoff_ij: jax.Array,  # [P] / [A, K] (mask folded in)
+        idx_i: jax.Array = None,
+        idx_j: jax.Array = None,
+        nbh_idx: jax.Array = None,
+        nbh_rev: jax.Array = None,
+        nbh_mask: jax.Array = None,
     ) -> jax.Array:
         A = x.shape[0]
         F = self.n_atom_basis
         n_lm = (self.lmax + 1) ** 2
 
-        ylm = so3_ops.real_spherical_harmonics(dir_ij, self.lmax)  # [P, n_lm]
+        ylm = so3_ops.real_spherical_harmonics(dir_ij, self.lmax)  # [.., n_lm]
         cg = so3_ops.cg_dense(self.lmax, x.dtype)
 
         # radial filter: one weight set per degree l, expanded to lm
-        Wl = Dense((self.lmax + 1) * F, name="filternet")(radial_ij)  # [P, (l+1)F]
-        Wl = Wl.reshape(-1, self.lmax + 1, F) * cutoff_ij[:, None, None]
+        Wl = Dense((self.lmax + 1) * F, name="filternet")(radial_ij)
+        Wl = Wl.reshape(Wl.shape[:-1] + (self.lmax + 1, F)) * cutoff_ij[..., None, None]
         deg = jnp.asarray(so3_ops.degree_index(self.lmax))
-        Wlm = jnp.take(Wl, deg, axis=1)  # [P, n_lm, F]
+        Wlm = jnp.take(Wl, deg, axis=-2)  # [.., n_lm, F]
+
+        if nbh_idx is not None:
+            from ..ops.neighbor_gather import neighbor_gather
+
+            if nbh_rev is not None:
+                xj = neighbor_gather(x, nbh_idx, nbh_rev, nbh_mask)  # [A,K,n_lm,F]
+            else:
+                xj = jnp.take(x, nbh_idx, axis=0)
+            msg = jnp.einsum("pqr,akpf,akq->akrf", cg, xj, ylm) * Wlm
+            return jnp.sum(msg, axis=1)
 
         xj = jnp.take(x, idx_j, axis=0)  # [P, n_lm, F]
         msg = jnp.einsum("pqr,apf,aq->arf", cg, xj, ylm) * Wlm

@@ -42,19 +42,30 @@ class SO3net(nn.Module):
     @nn.compact
     def __call__(self, inputs):
         Z = inputs[properties.Z]
-        Rij = inputs[properties.Rij]
-        idx_i = inputs[properties.idx_i]
-        idx_j = inputs[properties.idx_j]
-        pair_mask = inputs[properties.pair_mask]
         F = self.n_atom_basis
+        dense = properties.nbh_rij in inputs
 
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
-        d_ij = safe_norm(Rij, axis=-1)
-        dir_ij = Rij / d_ij[:, None]
+        if dense:
+            Rij = inputs[properties.nbh_rij]
+            nbh_idx = inputs[properties.nbh_idx]
+            nbh_rev = inputs.get(properties.nbh_rev)
+            nbh_mask = inputs[properties.nbh_mask]
+            idx_i = idx_j = None
+            d_ij = safe_norm(Rij, axis=-1)
+            dir_ij = Rij / d_ij[..., None]
+            cutoff_ij = cutoff_fn(d_ij) * nbh_mask
+        else:
+            Rij = inputs[properties.Rij]
+            idx_i = inputs[properties.idx_i]
+            idx_j = inputs[properties.idx_j]
+            nbh_idx = nbh_rev = nbh_mask = None
+            d_ij = safe_norm(Rij, axis=-1)
+            dir_ij = Rij / d_ij[:, None]
+            cutoff_ij = cutoff_fn(d_ij) * inputs[properties.pair_mask]
         radial_ij = radial(d_ij)
-        cutoff_ij = cutoff_fn(d_ij) * pair_mask
 
         x0 = nn.Embed(self.max_z + 1, F, name="embedding")(Z)  # [A, F]
         x = so3_ops.scalar2rsh(x0, self.lmax)  # [A, n_lm, F]
@@ -75,7 +86,8 @@ class SO3net(nn.Module):
             tp = [SO3TensorProduct(self.lmax, name=f"tp_{t}") for t in range(self.n_interactions)]
 
         for t in range(self.n_interactions):
-            dx = conv[t](x, radial_ij, dir_ij, cutoff_ij, idx_i, idx_j)
+            dx = conv[t](x, radial_ij, dir_ij, cutoff_ij, idx_i, idx_j,
+                         nbh_idx, nbh_rev, nbh_mask)
             ddx = mix1[t](dx)
             dx = dx + ddx + tp[t](dx, ddx)
             dx = gate[t](dx)

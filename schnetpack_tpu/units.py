@@ -76,13 +76,11 @@ GPa = 1e9 * Pascal
 bar = 1e5 * Pascal
 
 Debye = D = 1.0 / 1e11 / _e / _c  # e*Ang
-Bohr_magneton = _e * _hbar_si / (2.0 * _me) / 1e-30 * (1.0 / _e) * 1e-10  # not used; placeholder
 
 alpha = _e**2 / (4.0 * math.pi * _eps0) / _hbar_si / _c  # fine structure constant
 invcm = 100.0 * _c * _hplanck / _e  # cm^-1 photon energy in eV
 
 #: hbar in ASE units (eV * ASE-time)
-hbar = _hbar_si / _e * second / 1.0e10 * 1.0e10  # = _hbar_si [J s] * J * s
 hbar = _hbar_si * J * s
 #: Coulomb constant ke = 1/(4 pi eps0) in eV * Ang / e^2
 ke = _e / (4.0 * math.pi * _eps0) * 1e10

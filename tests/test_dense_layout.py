@@ -59,3 +59,30 @@ def test_flat_vs_dense_equivalence(rep_cls, rng):
         np.asarray(out_dense[properties.forces][:10]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_so3net_flat_vs_dense(rng):
+    from schnetpack_tpu.representation import SO3net
+
+    mols = [random_molecule(rng, 6), random_molecule(rng, 4)]
+    pot = NeuralNetworkPotential(
+        representation=SO3net(n_atom_basis=16, n_interactions=2, lmax=2,
+                              n_rbf=8, cutoff=CUTOFF),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=properties.energy), Forces()],
+    )
+    b_flat = collate(mols, FLAT_SPEC)
+    b_dense = collate(mols, DENSE_SPEC)
+    params = pot.init(jax.random.PRNGKey(0), b_flat)
+    out_flat = pot.apply(params, b_flat)
+    out_dense = pot.apply(params, b_dense)
+    np.testing.assert_allclose(
+        np.asarray(out_flat[properties.energy][:2]),
+        np.asarray(out_dense[properties.energy][:2]),
+        rtol=1e-5, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_flat[properties.forces][:10]),
+        np.asarray(out_dense[properties.forces][:10]),
+        rtol=1e-4, atol=1e-5,
+    )

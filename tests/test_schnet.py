@@ -146,5 +146,6 @@ def test_jit_apply(potential_and_params, rng):
     out = jitted(params, batch)
     out2 = pot.apply(params, batch)
     np.testing.assert_allclose(
-        np.asarray(out[properties.energy]), np.asarray(out2[properties.energy]), rtol=1e-6
+        np.asarray(out[properties.energy]), np.asarray(out2[properties.energy]),
+        rtol=1e-5, atol=1e-6,
     )

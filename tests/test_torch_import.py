@@ -67,3 +67,37 @@ def test_imported_model_physics(imported):
     rot[P.R] = mol[P.R] @ Q.T
     e1 = SpkCalculator(pot, params, cutoff=info["cutoff"], energy_unit="kcal/mol").calculate(rot)["energy"]
     assert e1 == pytest.approx(e0, abs=0.05 * KCAL)
+
+
+def test_imported_model_nve_conservation(imported):
+    """NVE MD with the real trained PES conserves energy — dynamical proof
+    that forces are the exact gradient of the imported energy surface."""
+    import jax
+    import jax.numpy as jnp
+
+    from schnetpack_tpu.md import MaxwellBoltzmannInit, Simulator, VelocityVerlet, load_molecules
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
+    from schnetpack_tpu.md.cli import load_structures
+
+    pot, params, info = imported
+    with jax.enable_x64():
+        params64 = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params,
+        )
+        mol = load_structures(XYZ)[0]
+        system = load_molecules([mol], dtype=jnp.float64)
+        system = MaxwellBoltzmannInit(300.0).initialize_system(
+            system, jax.random.PRNGKey(0)
+        )
+        calc = SchNetPackCalculator(
+            pot, params64, cutoff=info["cutoff"], energy_unit="kcal/mol",
+        )
+        sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False)
+        s0 = sim.state.system
+        e0 = float(jnp.sum(s0.energy) + jnp.sum(s0.kinetic_energy))
+        sim.simulate(200, chunk_size=100)
+        s1 = sim.state.system
+        e1 = float(jnp.sum(s1.energy) + jnp.sum(s1.kinetic_energy))
+        ke = float(jnp.sum(s0.kinetic_energy))
+        assert abs(e1 - e0) < 0.02 * ke  # drift well under 2% of KE

@@ -51,6 +51,7 @@ class Simulator:
             "temperature", "kinetic_energy",
         ),
         progress: bool = True,
+        profile_dir: Optional[str] = None,
     ):
         self.system = system
         self.integrator = integrator
@@ -60,6 +61,8 @@ class Simulator:
         self.key = jax.random.PRNGKey(seed)
         self.log_keys = tuple(log_keys)
         self.progress = progress
+        self.profile_dir = profile_dir
+        self._profiled = False
         self.n_simulated = 0
         self._step_fn = None
         self._state: Optional[SimulatorState] = None
@@ -148,8 +151,14 @@ class Simulator:
         t0 = time.time()
         while remaining > 0:
             n = min(chunk_size, remaining)
+            profiling = self.profile_dir and not self._profiled and self.n_simulated > 0
+            if profiling:
+                jax.profiler.start_trace(self.profile_dir)
             state, logs = self._scan(state, n)
             jax.block_until_ready(state.system.positions)
+            if profiling:
+                jax.profiler.stop_trace()
+                self._profiled = True
             logs_np = jax.tree.map(np.asarray, logs)
             # publish live state so host hooks (checkpointing) see it
             self._state = state

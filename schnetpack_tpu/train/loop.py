@@ -67,6 +67,8 @@ class Trainer:
         val_every_n_epochs: int = 1,
         early_stopping_patience: Optional[int] = None,
         progress: bool = True,
+        profile_dir: Optional[str] = None,
+        profile_steps: tuple = (10, 20),
     ):
         self.max_epochs = max_epochs
         self.log_dir = log_dir
@@ -78,6 +80,10 @@ class Trainer:
         self.val_every_n_epochs = val_every_n_epochs
         self.early_stopping_patience = early_stopping_patience
         self.progress = progress
+        # jax.profiler trace window (replaces the reference's pass-through
+        # Lightning profiler flag, SURVEY aux: trainer profiler)
+        self.profile_dir = profile_dir
+        self.profile_steps = profile_steps
 
     def _log(self, metrics, step):
         for lg in self.loggers:
@@ -110,6 +116,11 @@ class Trainer:
                 state, m = task.train_step(state, batch)
                 train_metrics.append(m)
                 step = int(state.step)
+                if self.profile_dir and step == self.profile_steps[0]:
+                    jax.profiler.start_trace(self.profile_dir)
+                elif self.profile_dir and step == self.profile_steps[1]:
+                    jax.block_until_ready(state.params)
+                    jax.profiler.stop_trace()
                 if step % self.log_every_n_steps == 0:
                     self._log(aggregate_metrics(train_metrics[-self.log_every_n_steps:]), step)
 

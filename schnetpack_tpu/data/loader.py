@@ -284,6 +284,7 @@ class AtomsLoader:
         batch_size: int,
         shuffle: bool = False,
         padding: Optional[PaddingSpec] = None,
+        padding_buckets: Optional[Sequence[PaddingSpec]] = None,
         drop_last: bool = False,
         seed: int = 0,
         indices: Optional[Sequence[int]] = None,
@@ -293,11 +294,27 @@ class AtomsLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.padding = padding
+        # sorted list of specs; each batch picks the smallest fitting one
+        # (bounded recompiles, much less padding waste on heterogeneous data)
+        self.padding_buckets = (
+            sorted(padding_buckets, key=lambda s: s.n_atoms)
+            if padding_buckets else None
+        )
         self.drop_last = drop_last
         self.indices = list(indices) if indices is not None else list(range(len(dataset)))
         self.sampler = sampler
         self._rng = np.random.RandomState(seed)
         self._epoch = 0
+
+    def _spec_for(self, samples):
+        if self.padding_buckets:
+            ta = sum(len(s[structure.Z]) for s in samples)
+            tp = sum(len(s.get(structure.idx_i, ())) for s in samples)
+            for spec in self.padding_buckets:
+                if spec.n_atoms >= ta + 1 and spec.n_pairs >= tp:
+                    return spec
+            return self.padding_buckets[-1]
+        return self.padding
 
     def __len__(self) -> int:
         n = len(self.indices)
@@ -317,7 +334,7 @@ class AtomsLoader:
             if self.drop_last and len(chunk) < self.batch_size:
                 return
             samples = [self.dataset[i] for i in chunk]
-            yield collate(samples, self.padding)
+            yield collate(samples, self._spec_for(samples))
 
 
 def static_padding_for_dataset(

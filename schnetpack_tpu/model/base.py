@@ -208,12 +208,28 @@ class NeuralNetworkPotential:
             alpha = jnp.diagonal(alpha_full, axis1=0, axis2=2)  # [3,3,M]
             out[properties.polarizability] = jnp.moveaxis(alpha, -1, 0)
 
-        if properties.dipole_derivatives in props:
+        if (
+            properties.dipole_derivatives in props
+            or properties.partial_charges in props
+        ) and properties.electric_field in self.required_fields:
             # d mu / d R = -d2 E / dF dR  -> [M,3,A,3]
             mu_of_R = lambda R_: -jax.grad(
                 lambda f: closure(R_, eps0, f)[0]
             )(F0)
-            out[properties.dipole_derivatives] = jax.jacrev(mu_of_R)(R0)
+            dmu_dR = jax.jacrev(mu_of_R)(R0)
+            if properties.dipole_derivatives in props:
+                out[properties.dipole_derivatives] = dmu_dR
+            if properties.partial_charges in props:
+                # Born effective charge (isotropic part): q_a = tr(dmu/dR_a)/3
+                # from the atom's own molecule block of dmu_dR [M, 3, A, 3]
+                idx_m = inputs[properties.idx_m]
+                sel = jnp.take_along_axis(
+                    jnp.moveaxis(dmu_dR, 2, 0),  # [A, M, 3, 3]
+                    idx_m[:, None, None, None].astype(jnp.int32), axis=1,
+                )[:, 0]  # [A, 3, 3]
+                out[properties.partial_charges] = (
+                    jnp.trace(sel, axis1=-2, axis2=-1) / 3.0
+                ) * atom_mask
 
         if properties.polarizability_derivatives in props:
             # d alpha / d R = -d3 E / dF^2 dR -> [M,3,M,3,A,3]; per-molecule

@@ -187,18 +187,23 @@ class AtomisticTask:
             raise ValueError(f"unknown optimizer {optimizer}")
         self.optimizer = optax.chain(*chain)
 
-        self._train_step = jax.jit(self._train_step_impl)
+        # donate the state buffers: params/opt-state are updated in place on
+        # device instead of being copied every step
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=0)
         self._eval_step = jax.jit(self._eval_step_impl, static_argnames=("prefix",))
 
     # ------------------------------------------------------------------
     def create_state(self, rng, example_batch) -> TrainState:
         batch = {k: jnp.asarray(v) for k, v in example_batch.items()}
         params = self.model.init(rng, batch)
+        # ema must be a distinct copy: the train step donates the whole
+        # state, and aliased buffers cannot be donated twice
+        ema = jax.tree.map(jnp.copy, params) if self.ema_decay else None
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
             opt_state=self.optimizer.init(params),
-            ema_params=params if self.ema_decay else None,
+            ema_params=ema,
             lr_scale=jnp.ones((), jnp.float32),
         )
 

@@ -199,3 +199,27 @@ class TestCollate:
         np.testing.assert_allclose(b["energy"][:2], [-1.5, -2.5])
         assert b["forces"].shape == b[properties.R].shape
         np.testing.assert_allclose(b["forces"][4:10], 1.0)
+
+
+class TestBucketedLoader:
+    def test_buckets_choose_smallest_fit(self, rng):
+        from schnetpack_tpu.data.loader import AtomsLoader
+        from tests.conftest import random_molecule
+
+        small = [random_molecule(rng, 3) for _ in range(4)]
+        big = [random_molecule(rng, 12) for _ in range(4)]
+
+        class DS:
+            def __init__(self, items): self.items = items
+            def __len__(self): return len(self.items)
+            def __getitem__(self, i): return self.items[i]
+
+        buckets = [
+            PaddingSpec(n_atoms=16, n_pairs=256, n_molecules=3),
+            PaddingSpec(n_atoms=64, n_pairs=1024, n_molecules=3),
+        ]
+        loader = AtomsLoader(DS(small + big), batch_size=2,
+                             padding_buckets=buckets)
+        sizes = [b[properties.Z].shape[0] for b in loader]
+        assert sizes[:2] == [16, 16]   # small molecules -> small bucket
+        assert sizes[2:] == [64, 64]   # big molecules -> big bucket

@@ -108,7 +108,21 @@ def train(config: Dict) -> Dict[str, float]:
         )},
     )
 
-    state = trainer.fit(task, state, dm.train_dataloader(), dm.val_dataloader(), resume=resume)
+    # data-parallel training over the local device mesh when requested
+    # (parity: reference trainer/ddp_trainer.yaml)
+    n_devices = int(trainer_cfg.get("devices", 1) or 1)
+    if n_devices == -1:
+        n_devices = jax.device_count()
+    fit_task, train_loader = task, dm.train_dataloader()
+    if n_devices > 1:
+        from .parallel import make_mesh
+        from .parallel.data_parallel import DataParallelTask, GroupedLoader
+
+        mesh = make_mesh(n_devices, axis_names=("data",))
+        fit_task = DataParallelTask(task, mesh)
+        train_loader = GroupedLoader(dm.train_dataloader(), n_devices)
+
+    state = trainer.fit(fit_task, state, train_loader, dm.val_dataloader(), resume=resume)
     metrics = trainer.test(task, state, dm.test_dataloader())
     print({k: round(v, 6) for k, v in metrics.items()})
 

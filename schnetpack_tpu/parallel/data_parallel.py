@@ -116,3 +116,54 @@ def shard_global_batch(batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "da
     """Device-put a stacked global batch with its leading axis sharded."""
     sharding = NamedSharding(mesh, P(axis))
     return {k: jax.device_put(v, sharding) for k, v in batch.items()}
+
+
+class GroupedLoader:
+    """Re-iterable view grouping a loader's batches into per-device stacks."""
+
+    def __init__(self, loader, n_devices: int):
+        self.loader = loader
+        self.n_devices = n_devices
+
+    def __iter__(self):
+        return split_loader_for_mesh(self.loader, self.n_devices)
+
+
+class DataParallelTask:
+    """Adapter making ``Trainer.fit`` run data-parallel over a mesh.
+
+    Wraps an ``AtomisticTask``: ``train_step`` consumes grouped batches
+    (one per device, see ``GroupedLoader``), shards them over the ``data``
+    axis and runs the psum'd step; evaluation/checkpointing delegate to the
+    wrapped task (parameters are replicated, so single-device eval is
+    exact).  This is the CLI-facing analog of the reference's
+    ``trainer: ddp_trainer`` config.
+    """
+
+    def __init__(self, task, mesh: Mesh):
+        self.task = task
+        self.mesh = mesh
+        self._pstep = make_parallel_train_step(task, mesh)
+
+    # delegated surface used by Trainer ---------------------------------
+    @property
+    def learning_rate(self):
+        return self.task.learning_rate
+
+    @property
+    def outputs(self):
+        return self.task.outputs
+
+    def create_state(self, rng, example_batch):
+        return self.task.create_state(rng, example_batch)
+
+    def eval_params(self, state):
+        return self.task.eval_params(state)
+
+    def eval_step(self, params, batch, prefix: str = "val"):
+        return self.task.eval_step(params, batch, prefix)
+
+    def train_step(self, state, group_batch):
+        with self.mesh:
+            sharded = shard_global_batch(group_batch, self.mesh)
+            return self._pstep(state, sharded)

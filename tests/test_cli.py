@@ -86,3 +86,35 @@ class TestTrainCLI:
         main(["predict", f"model_dir={run_dir}"])
         pred_dir = os.path.join(run_dir, "predictions")
         assert os.listdir(pred_dir)
+
+
+class TestDataParallelCLI:
+    @pytest.mark.slow
+    def test_train_with_devices(self, tmp_path):
+        """trainer.devices=8: data-parallel fit through the CLI path
+        (parity: reference trainer=ddp_trainer)."""
+        import jax
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        raw_dir = tmp_path / "raw"
+        raw_dir.mkdir()
+        make_md17_npz(raw_dir / "md17_aspirin.npz", n_frames=40, n_atoms=5)
+        overrides = [
+            "experiment=md17",
+            f"run.path={tmp_path}/runs", "run.id=dp",
+            f"run.data_dir={tmp_path}/data", f"data.raw_dir={raw_dir}",
+            "data.num_train=32", "data.num_val=4", "data.num_test=4",
+            "data.batch_size=4",
+            "trainer.max_epochs=1", "trainer.progress=false",
+            "+trainer.devices=8",
+            "model.representation.n_atom_basis=16",
+            "model.representation.n_interactions=1",
+            "model.representation.n_rbf=8",
+        ]
+        cfg = default_composer().compose("train", overrides)
+        metrics = train(cfg)
+        assert "test_loss" in metrics
+        import numpy as np
+
+        assert np.isfinite(metrics["test_loss"])

@@ -153,3 +153,38 @@ class TestDataModule:
         )
         dm2.setup()
         assert dm2.train_idx == dm.train_idx
+
+
+class TestDatasetParsers:
+    def test_qm9_xyz_parser(self):
+        from schnetpack_tpu.datasets.qm9 import parse_qm9_xyz
+
+        text = (
+            "3\n"
+            "gdb 1\t157.7  157.7  157.7  0.0  13.21  -0.3877  0.1171  0.5048  "
+            "35.36  0.044749  -40.4789  -40.476  -40.4751  -40.4986  6.469\n"
+            "C\t-0.012\t1.086\t0.008\t-0.5\n"
+            "H\t0.002*^-2\t-0.006\t0.002\t0.13\n"
+            "H\t1.012\t1.464\t0.0\t0.13\n"
+        )
+        Z, R, props = parse_qm9_xyz(text)
+        np.testing.assert_array_equal(Z, [6, 1, 1])
+        assert R.shape == (3, 3)
+        assert R[1, 0] == pytest.approx(0.002e-2)  # *^ exponent handled
+        assert float(props["energy_U0"]) == pytest.approx(-40.4789)
+        assert float(props["gap"]) == pytest.approx(0.5048)
+        assert float(props["heat_capacity"]) == pytest.approx(6.469)
+
+    def test_extxyz_parser_with_lattice(self):
+        from schnetpack_tpu.datasets.xyz import parse_extxyz_blocks
+
+        text = (
+            '2\nLattice="10 0 0 0 10 0 0 0 10" Properties=species:S:1:pos:R:3\n'
+            "Si 0.0 0.0 0.0\nSi 1.35 1.35 1.35\n"
+            "1\nplain comment\nAr 0 0 0\n"
+        )
+        blocks = list(parse_extxyz_blocks(text))
+        assert len(blocks) == 2
+        np.testing.assert_array_equal(blocks[0]["numbers"], [14, 14])
+        np.testing.assert_allclose(blocks[0]["cell"], np.eye(3) * 10)
+        assert "cell" not in blocks[1]

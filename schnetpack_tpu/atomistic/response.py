@@ -49,6 +49,13 @@ class Strain(nn.Module):
                 pair_mol = jnp.take(idx_m, inputs[i_key], axis=0)
                 eps_pair = jnp.take(eps, pair_mol, axis=0)
                 inputs[off_key] = off + jnp.einsum("pi,pij->pj", off, eps_pair)
+        if properties.nbh_offsets in inputs:
+            # dense layout: [A, K, 3] offsets strained by the center atom's
+            # molecule tensor
+            noff = inputs[properties.nbh_offsets]
+            inputs[properties.nbh_offsets] = noff + jnp.einsum(
+                "aki,aij->akj", noff, eps_atom
+            )
         return inputs
 
 

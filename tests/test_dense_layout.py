@@ -86,3 +86,39 @@ def test_so3net_flat_vs_dense(rng):
         np.asarray(out_dense[properties.forces][:10]),
         rtol=1e-4, atol=1e-5,
     )
+
+
+def test_stress_flat_vs_dense(argon_crystal):
+    """Stress via strain reparameterization must agree between layouts
+    (the Strain module also transforms the dense nbh_offsets)."""
+    import jax
+
+    with jax.enable_x64():
+        s = NeighborListTransform(6.0)(dict(argon_crystal))
+        pot = NeuralNetworkPotential(
+            representation=SchNet(n_atom_basis=16, n_interactions=2, n_rbf=8, cutoff=6.0),
+            input_modules=[PairwiseDistances()],
+            output_modules=[
+                Atomwise(output_key=properties.energy),
+                Forces(calc_forces=True, calc_stress=True),
+            ],
+        )
+        flat_spec = PaddingSpec(16, 512, 2)
+        dense_spec = PaddingSpec(16, 512, 2, n_neighbors=32)
+        b_flat = collate([s], flat_spec, float_dtype=np.float64)
+        b_dense = collate([s], dense_spec, float_dtype=np.float64)
+        params = pot.init(jax.random.PRNGKey(0), b_flat)
+        import jax.numpy as jnp
+
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params,
+        )
+        out_flat = pot.apply(params, {k: jnp.asarray(v) for k, v in b_flat.items()})
+        out_dense = pot.apply(params, {k: jnp.asarray(v) for k, v in b_dense.items()})
+        np.testing.assert_allclose(
+            np.asarray(out_flat[properties.stress][0]),
+            np.asarray(out_dense[properties.stress][0]),
+            rtol=1e-8, atol=1e-12,
+        )
+        assert np.abs(np.asarray(out_dense[properties.stress][0])).max() > 1e-8

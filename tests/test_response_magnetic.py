@@ -47,3 +47,55 @@ def test_shielding_and_spin_coupling(rng):
     # coupling tensor is symmetric under (a,i) <-> (b,j)
     J_perm = np.transpose(J, (2, 3, 0, 1))
     np.testing.assert_allclose(J, J_perm, rtol=1e-3, atol=1e-6)
+
+
+def test_dipole_derivatives_match_fd(rng):
+    """d mu / dR from the engine == central differences of mu(R)."""
+    import jax
+    import jax.numpy as jnp
+
+    with jax.enable_x64():
+        pot = NeuralNetworkPotential(
+            representation=FieldSchNet(
+                n_atom_basis=8, n_interactions=1, n_rbf=6, cutoff=5.0,
+                response_properties=[properties.dipole_moment],
+            ),
+            input_modules=[PairwiseDistances()],
+            output_modules=[
+                Atomwise(output_key=properties.energy),
+                Response(response_properties=[
+                    properties.dipole_moment,
+                    properties.dipole_derivatives,
+                    properties.partial_charges,
+                ]),
+            ],
+        )
+        mol = random_molecule(rng, 4)
+        b = collate([mol], SPEC, float_dtype=np.float64)
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        params = pot.init(jax.random.PRNGKey(0), b)
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, params,
+        )
+        out = pot.apply(params, b)
+        dmu = np.asarray(out[properties.dipole_derivatives])  # [M,3,A,3]
+
+        def mu_at(R):
+            b2 = dict(b)
+            b2[properties.R] = jnp.asarray(R)
+            return np.asarray(pot.apply(params, b2)[properties.dipole_moment][0])
+
+        h = 1e-5
+        R0 = np.asarray(b[properties.R])
+        for (a, d) in [(0, 0), (2, 1)]:
+            Rp, Rm = R0.copy(), R0.copy()
+            Rp[a, d] += h
+            Rm[a, d] -= h
+            fd = (mu_at(Rp) - mu_at(Rm)) / (2 * h)  # [3]
+            np.testing.assert_allclose(dmu[0, :, a, d], fd, rtol=1e-5, atol=1e-9)
+
+        # Born charges: trace/3 of each atom's block
+        q = np.asarray(out[properties.partial_charges])
+        expected_q0 = np.trace(dmu[0, :, 0, :]) / 3.0
+        assert q[0] == pytest.approx(expected_q0, rel=1e-8)

@@ -77,7 +77,7 @@ def main():
     calc = SchNetPackCalculator(
         pot, params, cutoff=cutoff, cutoff_shell=0.3, neighbor_list="dense",
     )
-    sim = Simulator(system, VelocityVerlet(1.0), calc, progress=False,
+    sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False,
                     log_keys=("energy", "temperature"))
 
     # warmup chunk (compile) — same chunk size as the timed region, since

@@ -89,6 +89,34 @@ def main():
     dt = (time.time() - t0) / n_steps
 
     atom_steps = n_atoms / dt
+
+    # secondary: bare force-evaluation throughput (chained scan, K without
+    # the MD skin) for the detail record
+    import jax.numpy as jnp
+
+    from schnetpack_tpu.data.loader import padding_for, round_up
+
+    sample2 = dict(mol)
+    sample2 = NeighborListTransform(cutoff)(sample2)
+    base = padding_for([sample2])
+    max_nbrs = int(np.bincount(sample2[P.idx_i]).max())
+    spec2 = PaddingSpec(base.n_atoms, base.n_pairs, base.n_molecules,
+                        n_neighbors=round_up(max_nbrs, 4))
+    batch2 = {k: jnp.asarray(v) for k, v in collate([sample2], spec2).items()}
+
+    def chained(R0):
+        def body(R, _):
+            b = dict(batch2)
+            b[P.R] = R
+            return R + 1e-7 * pot.apply(params, b)[P.forces], None
+
+        return jax.lax.scan(body, R0, None, length=20)[0]
+
+    run = jax.jit(chained)
+    jax.block_until_ready(run(batch2[P.R] + 1e-5))
+    t0 = time.time()
+    jax.block_until_ready(run(batch2[P.R]))
+    force_eval_ms = (time.time() - t0) / 20 * 1e3
     print(
         json.dumps(
             {
@@ -99,6 +127,8 @@ def main():
                 "detail": {
                     "n_atoms": int(n_atoms),
                     "ms_per_step": round(dt * 1e3, 3),
+                    "force_eval_ms": round(force_eval_ms, 3),
+                    "force_eval_atom_steps_per_sec": round(n_atoms / force_eval_ms * 1e3, 1),
                     "what": "full NVE MD loop (PaiNN-128x3, dense NBL + skin)",
                     "timing": "lax.scan chunks, sequential dependency",
                     "device": str(jax.devices()[0]),

@@ -61,3 +61,30 @@ def test_hdf5_loader_and_power_spectrum(md_run):
     assert np.isfinite(inten).all()
     assert freq[1] > 0  # cm^-1 axis
     data.close()
+
+
+def test_spkmd_rpmd_dynamics(tmp_path):
+    """dynamics=rpmd: bead count drives n_replicas, PILE thermostat wired."""
+    xyz = tmp_path / "dimer.xyz"
+    xyz.write_text("2\nargon dimer\nAr 0 0 0\nAr 3.8 0.2 0.1\n")
+    sim_dir = tmp_path / "rpmd_sim"
+    spkmd_main([
+        f"system.molecule_file={xyz}",
+        f"simulation_dir={sim_dir}",
+        "calculator=lj",
+        "dynamics=rpmd",
+        "dynamics.integrator.n_beads=4",
+        "dynamics.integrator.time_step=0.2",
+        "dynamics.n_steps=20",
+        "dynamics.chunk_size=10",
+        "dynamics.thermostat.temperature_bath=30.0",
+        "system.initializer.temperature=30.0",
+        "system.initializer.remove_rotation=false",
+    ])
+    import h5py
+
+    with h5py.File(os.path.join(sim_dir, "simulation.hdf5"), "r") as f:
+        assert f["molecules"].attrs["n_replicas"] == 4
+        pos = f["molecules/positions"][:]
+        assert pos.shape == (20, 4, 2, 3)
+        assert np.isfinite(pos).all()

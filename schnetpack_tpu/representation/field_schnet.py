@@ -126,6 +126,14 @@ class FieldSchNet(nn.Module):
         idx_m = inputs[properties.idx_m]
         pair_mask = inputs[properties.pair_mask]
         F = self.n_atom_basis
+        if properties.nbh_rij in inputs and idx_i.shape[0] <= 1:
+            # the dense-only MD calculator provides a dummy flat list;
+            # FieldSchNet has no dense code path yet — fail loudly instead
+            # of silently computing an embedding-only representation
+            raise NotImplementedError(
+                "FieldSchNet requires the flat pair-list layout; use "
+                "SchNetPackCalculator(neighbor_list='all_pairs')"
+            )
 
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)

@@ -250,7 +250,16 @@ def collate(
             continue
         vals = [np.asarray(s[key]) for s in samples]
         v0 = vals[0]
-        if v0.ndim >= 1 and v0.shape[0] == n_atoms_per[0] and key != structure.pbc:
+        # per-atom iff the leading dim matches the atom count of EVERY
+        # sample AND the key is not registered as per-molecule (a (3,)
+        # dipole target in a batch of 3-atom molecules must not misroute)
+        per_atom = (
+            v0.ndim >= 1
+            and key != structure.pbc
+            and key not in structure.per_molecule_keys
+            and all(v.ndim >= 1 and v.shape[0] == n for v, n in zip(vals, n_atoms_per))
+        )
+        if per_atom:
             # per-atom property -> concatenate and pad along atoms
             out = np.zeros((A,) + v0.shape[1:], dtype=float_dtype if np.issubdtype(v0.dtype, np.floating) else v0.dtype)
             for k, v in enumerate(vals):

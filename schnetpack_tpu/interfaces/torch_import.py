@@ -69,6 +69,23 @@ def load_torch_model(path: str):
 
     sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
     rep = m.representation
+    # AddOffsets may sit at any index in the postprocessor list — scan for
+    # its buffers instead of assuming index 1 (reference: the postprocessor
+    # order is config-dependent).
+    atomref = mean = None
+    has_postproc = any(k.startswith("postprocessors.") for k in sd)
+    for k, v in sd.items():
+        if k.startswith("postprocessors.") and k.endswith(".atomref"):
+            atomref = v
+        elif k.startswith("postprocessors.") and k.endswith(".mean"):
+            mean = v
+    if has_postproc and atomref is None and mean is None:
+        import warnings
+
+        warnings.warn(
+            "torch model has postprocessors but no atomref/mean buffers were "
+            "found; energy offsets will not be applied", stacklevel=2
+        )
     info = {
         "representation": type(rep).__name__,
         "cutoff": float(sd.get("representation.cutoff_fn.cutoff", [5.0])[0]),
@@ -76,8 +93,8 @@ def load_torch_model(path: str):
         if "representation.radial_basis.offsets" in sd else 20,
         "n_atom_basis": int(sd["representation.embedding.weight"].shape[1]),
         "max_z": int(sd["representation.embedding.weight"].shape[0]) - 1,
-        "atomref": sd.get("postprocessors.1.atomref"),
-        "mean": sd.get("postprocessors.1.mean"),
+        "atomref": atomref,
+        "mean": mean,
     }
     # count interaction blocks
     n_int = 0
@@ -195,8 +212,15 @@ def _import_atomwise(flat, sd, prefix: str):
         i += 1
 
 
-def import_schnet(path: str, energy_key: str = "energy", calc_forces: bool = True):
-    """(model, params) from a reference-trained SchNet potential."""
+def import_schnet(path: str, energy_key: str = "energy", calc_forces: bool = True,
+                  activation=None, head_activation=None):
+    """(model, params) from a reference-trained SchNet potential.
+
+    The activation is not recoverable from the state dict.  The reference
+    SchNet defaults to shifted_softplus (ref representation/schnet.py:22)
+    and its Atomwise head to silu (ref atomistic/atomwise.py:27); pass
+    ``activation`` / ``head_activation`` for models trained with overrides.
+    """
     import jax
     import jax.numpy as jnp
     from flax.traverse_util import flatten_dict, unflatten_dict
@@ -224,14 +248,18 @@ def import_schnet(path: str, energy_key: str = "energy", calc_forces: bool = Tru
                        add_atomrefs=True, atomrefs=atomref,
                        property_mean=float(info["mean"]) if info["mean"] is not None else None)
         )
+    from ..ops.activations import shifted_softplus
+
     pot = NeuralNetworkPotential(
         representation=SchNet(
             n_atom_basis=F, n_interactions=n_int, n_rbf=info["n_rbf"],
-            cutoff=info["cutoff"], max_z=info["max_z"], activation=jax.nn.silu,
+            cutoff=info["cutoff"], max_z=info["max_z"],
+            activation=activation or shifted_softplus,
         ),
         input_modules=[PairwiseDistances()],
         output_modules=[
-            Atomwise(output_key=energy_key, activation=jax.nn.silu),
+            Atomwise(output_key=energy_key,
+                     activation=head_activation or jax.nn.silu),
             *([Forces(energy_key=energy_key)] if calc_forces else []),
         ],
         postprocessors=postprocessors,

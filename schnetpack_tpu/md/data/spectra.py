@@ -56,7 +56,7 @@ class VibrationalSpectrum:
     def _series(self, mol_idx: int) -> List[np.ndarray]:
         raise NotImplementedError
 
-    def _process(self, specs: List[np.ndarray]) -> List[np.ndarray]:
+    def _process(self, specs: List[np.ndarray], freq: np.ndarray) -> List[np.ndarray]:
         return specs
 
     def compute_spectrum(self, molecule_idx: int = 0):
@@ -72,7 +72,7 @@ class VibrationalSpectrum:
                 acf += fft_autocorrelation(flat[:, k], n_lags)
             freq, inten = _spectrum_from_autocorrelation(acf, self.data.time_step)
             specs.append(inten)
-        specs = self._process(specs)
+        specs = self._process(specs, freq)
         self.frequencies = [freq] * len(specs)
         self.intensities = specs
 
@@ -140,7 +140,19 @@ class RamanSpectrum(VibrationalSpectrum):
         )
         return [iso[:, None], aniso]
 
-    def _process(self, specs):
+    def _process(self, specs, freq):
+        # frequency/temperature-dependent Raman cross-section
+        # (parity: reference spectra.py:430-446): (nu_in - nu)^4 / nu
+        # weighted by the Bose occupation factor 1/(1 - exp(-h c nu / kB T)).
+        # The Bose argument h c nu / kB T is frame-independent:
+        # nu[cm^-1] * (1 cm^-1 in ASE energy) / (kB[ASE] * T).
+        from ... import units as U
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            x = freq * U.invcm / (U.kB * self.temperature)
+            cross = (self.incident_frequency - freq) ** 4 / freq / (1.0 - np.exp(-x))
+        cross[0] = 0.0
+        specs = [s * cross for s in specs]
         iso, aniso = specs
         parallel = iso + 4.0 / 45.0 * aniso
         orthogonal = aniso / 15.0

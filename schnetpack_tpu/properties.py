@@ -115,6 +115,20 @@ required_external_fields: Dict[str, List[str]] = {
 
 external_fields: List[str] = [electric_field, magnetic_field]
 
+#: properties that are always per-MOLECULE even when their leading dim
+#: happens to equal an atom count (e.g. a (3,) dipole target in a batch of
+#: 3-atom molecules) — used by the collate to disambiguate routing
+per_molecule_keys: List[str] = [
+    energy,
+    stress,
+    dipole_moment,
+    polarizability,
+    total_charge,
+    spin_multiplicity,
+    electric_field,
+    magnetic_field,
+]
+
 # ---------------------------------------------------------------------------
 # internal helper keys
 # ---------------------------------------------------------------------------

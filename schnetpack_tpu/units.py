@@ -176,7 +176,9 @@ class MDUnits:
         self.hbar = hbar * self.energy * self.time
         self.ke = ke * self.energy * self.length / self.charge**2
         # conversion: internal angular frequency -> wavenumber cm^-1
-        self.hbar2icm = self.hbar * (self.energy / invcm)
+        # (omega_int * hbar_int = E_int; E_int / (1 cm^-1 photon energy in
+        # internal units) = wavenumber in cm^-1)
+        self.hbar2icm = self.hbar / (self.energy * invcm)
 
     def unit2internal(self, unit: Union[str, float]) -> float:
         """Convert a unit (string or float, in the ASE frame) to internal units."""

@@ -33,6 +33,9 @@ class TestUnits:
         # time unit: ps-scale; 1 fs in internal units should be ~1e-2 ps... just check positive
         assert md.time > 0
         assert md.hbar2icm > 0
+        # default frame (kJ/mol, nm, Dalton): internal time = 1 ps, so an
+        # angular frequency of 1 ps^-1 is 1e12/(2 pi c) = 5.308 cm^-1
+        assert md.hbar2icm == pytest.approx(5.308, rel=1e-3)
 
     def test_parse_powers(self):
         assert units.convert_units("Ang**2", "Bohr**2") == pytest.approx(
@@ -199,6 +202,21 @@ class TestCollate:
         np.testing.assert_allclose(b["energy"][:2], [-1.5, -2.5])
         assert b["forces"].shape == b[properties.R].shape
         np.testing.assert_allclose(b["forces"][4:10], 1.0)
+
+    def test_dipole_on_triatomics_routes_per_molecule(self, rng):
+        # a (3,) dipole target in a batch of 3-atom molecules (water) must
+        # NOT be misrouted as a per-atom scalar property
+        from tests.conftest import random_molecule
+
+        s1 = random_molecule(rng, 3)
+        s2 = random_molecule(rng, 3)
+        s1["dipole_moment"] = np.array([0.1, 0.2, 0.3])
+        s2["dipole_moment"] = np.array([0.4, 0.5, 0.6])
+        b = collate([s1, s2])
+        M = b[properties.mol_mask].shape[0]
+        assert b["dipole_moment"].shape == (M, 3)
+        np.testing.assert_allclose(b["dipole_moment"][0], [0.1, 0.2, 0.3])
+        np.testing.assert_allclose(b["dipole_moment"][1], [0.4, 0.5, 0.6])
 
 
 class TestBucketedLoader:

@@ -100,6 +100,12 @@ class NHCThermostat(ThermostatHook):
         self.multi_step = multi_step
         self.ys = ys_weights(integration_order)
 
+    def _kbt(self, system: System) -> float:
+        """Bath thermal energy; ring-polymer subclasses scale by n_beads
+        (avoids the fragile pattern of mutating temperature_bath around a
+        parent call, which breaks under concurrent retracing)."""
+        return md_units().kB * self.temperature_bath
+
     def _dof_and_ke(self, system: System):
         if self.massive:
             # per-DOF: KE contribution p^2/m, dof = 1
@@ -113,7 +119,7 @@ class NHCThermostat(ThermostatHook):
         return dof, ke2
 
     def init_state(self, system: System, dt: float):
-        kBT = md_units().kB * self.temperature_bath
+        kBT = self._kbt(system)
         if self.massive:
             shape = system.momenta.shape  # [R, A, 3]
         else:
@@ -131,7 +137,7 @@ class NHCThermostat(ThermostatHook):
         }
 
     def apply(self, state, system, key, dt):
-        kBT = md_units().kB * self.temperature_bath
+        kBT = self._kbt(system)
         p_xi = state["p_xi"]
         q = state["q"]
         dof, ke2 = self._dof_and_ke(system)
@@ -196,27 +202,38 @@ class GLEThermostat(ThermostatHook):
         super().__init__(temperature_bath, time_constant=1.0)
         self.gle_file = gle_file
         self.free_particle_limit = free_particle_limit
-        self._a, self._c = load_gle_matrices(gle_file)
-        if self._a is None:
+        a, c = load_gle_matrices(gle_file)
+        if a is None:
             raise ValueError(f"Could not parse A matrix from {gle_file}")
+        if a.shape[0] > 1:
+            raise ValueError(
+                "More than one A matrix found — this looks like a PIGLET "
+                "input; use PIGLETThermostat"
+            )
+        self._a = a[0]
+        self._c = c[0] if c is not None else None
 
-    def _propagators(self, dt: float):
+    @staticmethod
+    def _single_propagator(a: np.ndarray, c: np.ndarray, dt_half: float):
+        """(T, S) with T = expm(-dt/2 A) and S S^T = C - T C T^T."""
         import scipy.linalg as sla
 
-        dt = 0.5 * dt  # half-kick per application
-        a = self._a
-        n = a.shape[-1]
-        if self._c is None:
-            c = md_units().kB * self.temperature_bath * np.eye(n)
-        else:
-            c = self._c
-        T = sla.expm(-dt * a)
+        T = sla.expm(-dt_half * a)
         S2 = c - T @ c @ T.T
         # symmetrize + PSD projection for numerical safety
         S2 = 0.5 * (S2 + S2.T)
         w, v = np.linalg.eigh(S2)
         S = v @ np.diag(np.sqrt(np.maximum(w, 0.0))) @ v.T
         return T, S
+
+    def _propagators(self, dt: float):
+        n = self._a.shape[-1]
+        if self._c is None:
+            c = md_units().kB * self.temperature_bath * np.eye(n)
+        else:
+            c = self._c
+        # half-kick per application
+        return self._single_propagator(self._a, c, 0.5 * dt)
 
     def init_state(self, system: System, dt: float):
         n_aux = self._a.shape[-1] - 1

@@ -118,8 +118,15 @@ class PILEGlobalThermostat(PILELocalThermostat):
 
 
 class NHCRingPolymerThermostat(NHCThermostat):
-    """Massive NHC in ring-polymer normal-mode space
-    (parity: thermostats_rpmd.py:373-501)."""
+    """Massive NHC in ring-polymer normal-mode space with NM-frequency
+    thermostat masses (parity: thermostats_rpmd.py:373-501).
+
+    ``local=True``: an independent chain per degree of freedom of every
+    normal mode.  ``local=False``: the centroid mode is thermostatted
+    globally — its first chain link gets mass and degrees of freedom scaled
+    by 3N and couples to the full per-molecule centroid kinetic energy
+    (reference ``_init_masses``/``_compute_kinetic_energy``).
+    """
 
     ring_polymer = True
 
@@ -135,54 +142,133 @@ class NHCRingPolymerThermostat(NHCThermostat):
     def _kbt(self, system: System) -> float:
         return md_units().kB * self.temperature_bath * system.n_replicas
 
+    def _dof_and_ke(self, system: System):
+        # system.momenta hold NORMAL-MODE momenta here (see apply)
+        ke2 = system.momenta**2 / system.masses[None, :, None]  # [P, A, 3]
+        dof = jnp.ones_like(ke2)
+        if not self.local:
+            # global centroid chain: couple mode 0 to the whole molecular
+            # centroid kinetic energy; dof_0 = 3N per molecule
+            ke2_c = system.sum_atoms(jnp.sum(ke2[0:1], axis=2, keepdims=True))
+            ke2 = ke2.at[0].set(system.expand_atoms(ke2_c)[0])
+            dof3n = system.expand_atoms(
+                (3.0 * system.n_atoms_per_mol.astype(ke2.dtype))[None, :, None]
+            )[0]
+            dof = dof.at[0].set(jnp.broadcast_to(dof3n, dof[0].shape))
+        return dof, ke2
+
+    def init_state(self, system: System, dt: float):
+        P = system.n_replicas
+        kBT = self._kbt(system)
+        kB, hbar = md_units().kB, md_units().hbar
+        omega_P = P * kB * self.temperature_bath / hbar
+        freqs = normal_mode_frequencies(P, omega_P)
+        # centroid frequency from the thermostat time constant
+        # (0.5/tau, reference thermostats_rpmd.py:432-434)
+        freqs[0] = 0.5 / self.time_constant
+        q_mode = kBT / freqs**2  # [P]
+        shape = system.momenta.shape  # [P, A, 3]
+        q = jnp.broadcast_to(
+            jnp.asarray(q_mode, system.momenta.dtype)[:, None, None, None],
+            shape + (self.chain_length,),
+        )
+        if not self.local:
+            dof3n = system.expand_atoms(
+                (3.0 * system.n_atoms_per_mol.astype(q.dtype))[None, :, None]
+            )[0]
+            q = q.at[0, :, :, 0].mul(dof3n)
+        return {
+            "p_xi": jnp.zeros(shape + (self.chain_length,), system.momenta.dtype),
+            "q": q.astype(system.momenta.dtype),
+        }
+
     def apply(self, state, system, key, dt):
-        # transform momenta to normal modes, run massive NHC there, back
+        # transform momenta to normal modes, run the massive NHC there, back
         nm = NormalModeTransformer(system.n_replicas)
         pn = nm.beads2normal(system.momenta)
-        tmp = system.replace(momenta=pn)
-
-        # NHC with bead-scaled temperature: shift kBT by running parent with
-        # adjusted bath temperature
-        saved_T = self.temperature_bath
-        self.temperature_bath = saved_T * system.n_replicas
-        try:
-            state, tmp = super().apply(state, tmp, key, dt)
-        finally:
-            self.temperature_bath = saved_T
+        state, tmp = super().apply(state, system.replace(momenta=pn), key, dt)
         p = nm.normal2beads(tmp.momenta) * system.atom_mask[None, :, None]
         return state, system.replace(momenta=p)
 
-    def init_state(self, system: System, dt: float):
-        saved_T = self.temperature_bath
-        self.temperature_bath = saved_T * system.n_replicas
-        try:
-            return super().init_state(system, dt)
-        finally:
-            self.temperature_bath = saved_T
-
 
 class RPMDGLEThermostat(ThermostatHook):
-    """GLE thermostat applied per bead with bead-scaled temperature
-    (parity: thermostats_rpmd.py:237-336)."""
+    """GLE thermostat applied to ring-polymer normal-mode momenta with
+    bead-scaled temperature (parity: thermostats_rpmd.py:237-298)."""
 
     ring_polymer = True
     needs_rng = True
 
-    def __init__(self, temperature_bath: float, gle_file: str):
+    def __init__(self, temperature_bath: float, gle_file: str,
+                 free_particle_limit: bool = True):
         super().__init__(temperature_bath, time_constant=1.0)
-        from .thermostats import GLEThermostat
+        from ..utils.thermostat_utils import load_gle_matrices
 
         self.gle_file = gle_file
-        self._inner = GLEThermostat(temperature_bath, gle_file)
+        self.free_particle_limit = free_particle_limit
+        self._a, self._c = load_gle_matrices(gle_file)
+        if self._a is None:
+            raise ValueError(f"Could not parse A matrix from {gle_file}")
+
+    def _mode_propagators(self, system: System, dt: float):
+        """Per-normal-mode (c1, c2) stacks [P, s, s]."""
+        from .thermostats import GLEThermostat
+
+        P = system.n_replicas
+        if self._a.shape[0] != 1:
+            raise ValueError(
+                "RPMDGLEThermostat expects a single A matrix; per-normal-mode "
+                "files are handled by PIGLETThermostat"
+            )
+        n = self._a.shape[-1]
+        kBT_P = md_units().kB * self.temperature_bath * P
+        c = self._c[0] if self._c is not None else kBT_P * np.eye(n)
+        T, S = GLEThermostat._single_propagator(self._a[0], c, 0.5 * dt)
+        return (np.broadcast_to(T, (P,) + T.shape).copy(),
+                np.broadcast_to(S, (P,) + S.shape).copy())
 
     def init_state(self, system: System, dt: float):
-        self._inner.temperature_bath = self.temperature_bath * system.n_replicas
-        return self._inner.init_state(system, dt)
+        T, S = self._mode_propagators(system, dt)
+        n_aux = self._a.shape[-1] - 1
+        dtype = system.momenta.dtype
+        return {
+            "s": jnp.zeros(system.momenta.shape + (n_aux,), dtype),
+            "T": jnp.asarray(T, dtype),   # [P, s, s]
+            "S": jnp.asarray(S, dtype),
+        }
 
     def apply(self, state, system, key, dt):
-        return self._inner.apply(state, system, key, dt)
+        nm = NormalModeTransformer(system.n_replicas)
+        pn = nm.beads2normal(system.momenta)  # [P, A, 3]
+        sqrt_m = jnp.sqrt(system.masses)[None, :, None]
+        vec = jnp.concatenate([(pn / sqrt_m)[..., None], state["s"]], axis=-1)
+        xi = jax.random.normal(key, vec.shape, vec.dtype)
+        new = (jnp.einsum("pij,pakj->paki", state["T"], vec)
+               + jnp.einsum("pij,pakj->paki", state["S"], xi))
+        pn = new[..., 0] * sqrt_m
+        p = nm.normal2beads(pn) * system.atom_mask[None, :, None]
+        return {**state, "s": new[..., 1:]}, system.replace(momenta=p)
 
 
-#: PIGLET = RPMD GLE with per-normal-mode matrices; served by the same
-#: implementation when given a PIGLET matrix file.
-PIGLETThermostat = RPMDGLEThermostat
+class PIGLETThermostat(RPMDGLEThermostat):
+    """PIGLET: a DISTINCT GLE drift/diffusion pair per ring-polymer normal
+    mode, parsed from the multi-section matrix files produced by gle4md
+    (parity: thermostats_rpmd.py:299-372; Uhl, Marx, Ceriotti 2016)."""
+
+    def _mode_propagators(self, system: System, dt: float):
+        from .thermostats import GLEThermostat
+
+        P = system.n_replicas
+        if self._a.shape[0] != P:
+            raise ValueError(
+                f"PIGLET file provides {self._a.shape[0]} normal-mode "
+                f"matrices but the ring polymer has {P} beads"
+            )
+        n = self._a.shape[-1]
+        kBT_P = md_units().kB * self.temperature_bath * P
+        Ts, Ss = [], []
+        for b in range(P):
+            c_b = self._c[b] if self._c is not None else kBT_P * np.eye(n)
+            T, S = GLEThermostat._single_propagator(self._a[b], c_b, 0.5 * dt)
+            Ts.append(T)
+            Ss.append(S)
+        return np.stack(Ts), np.stack(Ss)

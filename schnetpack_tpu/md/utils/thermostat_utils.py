@@ -54,29 +54,35 @@ class YSWeights:
 
 
 def load_gle_matrices(filename: str) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
-    """Parse an i-PI GLE input file into (A, C) matrices in MD internal units.
+    """Parse an i-PI/gle4md GLE input file into stacked (A, C) matrices.
 
-    File format: '# A MATRIX (<unit>)' / '# C MATRIX (<unit>)' headers with
-    '#' prefixed rows of numbers (i-PI convention).  A is a drift matrix
-    (units of inverse time), C a covariance (units of temperature/energy).
+    Returns arrays of shape ``[n_sections, s, s]`` in MD internal units —
+    ``n_sections == 1`` for plain GLE files and ``n_sections == n_beads``
+    for PIGLET files, whose sections are separated by
+    ``# Matrix for normal mode <k>`` markers (parity: reference
+    ``md/utils/thermostat_utils.py:64-180``).  A is a drift matrix (inverse
+    time); C a covariance (energy or Kelvin).  Data rows may or may not be
+    '#'-prefixed (both gle4md raw and i-PI conventions are accepted).
     """
     from ...units import md_units
 
-    a_mat, c_mat = None, None
-    current = None
-    rows = []
+    a_secs: list = []
+    c_secs: list = []
+    current: Optional[str] = None
+    rows: list = []
     unit_factor = 1.0
 
     def finalize():
-        nonlocal a_mat, c_mat, rows
-        if current == "A" and rows:
-            a_mat = np.asarray(rows) * unit_factor
-        elif current == "C" and rows:
-            c_mat = np.asarray(rows) * unit_factor
+        nonlocal rows
+        if rows:
+            (a_secs if current == "A" else c_secs).append(
+                np.asarray(rows) * unit_factor)
         rows = []
 
     unit_time = {"femtoseconds": "fs", "picoseconds": "ps", "seconds": "s",
                  "atomic time units": "aut"}
+    unit_energy = {"ev": "eV", "atomic energy units": "Ha",
+                   "hartree": "Ha", "kelvin": None, "k": None}
 
     with open(filename) as f:
         for line in f:
@@ -85,24 +91,29 @@ def load_gle_matrices(filename: str) -> Tuple[Optional[np.ndarray], Optional[np.
                 continue
             header = re.match(r"#\s*([AC])\s+MATRIX:?\s*\(?([^)]*)\)?", line)
             if header:
-                finalize()
+                if current is not None:
+                    finalize()
                 current = header.group(1)
                 unit = header.group(2).strip()
                 unit_factor = 1.0
                 if current == "A" and unit:
-                    # A has units of inverse time
                     m = re.match(r"(.+)\^-1", unit)
-                    if m and m.group(1).strip() in unit_time:
+                    name = m.group(1).strip() if m else unit
+                    if name in unit_time:
                         unit_factor = 1.0 / (
-                            _parse_unit(unit_time[m.group(1).strip()]) * md_units().time
-                        )
-                    elif unit in unit_time:
-                        unit_factor = 1.0 / (
-                            _parse_unit(unit_time[unit]) * md_units().time
+                            _parse_unit(unit_time[name]) * md_units().time
                         )
                 elif current == "C" and unit:
-                    if unit.lower() in ("k", "kelvin"):
+                    low = unit.lower()
+                    if low in ("k", "kelvin"):
                         unit_factor = md_units().kB  # K -> internal energy
+                    elif low in unit_energy and unit_energy[low]:
+                        unit_factor = (
+                            _parse_unit(unit_energy[low]) * md_units().energy
+                        )
+                continue
+            if current is not None and "matrix for normal mode" in line.lower():
+                finalize()  # PIGLET per-normal-mode section boundary
                 continue
             body = line.lstrip("#").strip()
             if current and body and not body.startswith("#"):
@@ -110,7 +121,10 @@ def load_gle_matrices(filename: str) -> Tuple[Optional[np.ndarray], Optional[np.
                     rows.append([float(x) for x in body.split()])
                 except ValueError:
                     continue
-    finalize()
+    if current is not None:
+        finalize()
+    a_mat = np.stack(a_secs) if a_secs else None
+    c_mat = np.stack(c_secs) if c_secs else None
     return a_mat, c_mat
 
 

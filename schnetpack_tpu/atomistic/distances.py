@@ -26,7 +26,16 @@ class PairwiseDistances(nn.Module):
         offsets = inputs[properties.offsets]
         Rij = jnp.take(R, idx_j, axis=0) - jnp.take(R, idx_i, axis=0) + offsets
         inputs[properties.Rij] = Rij
-        if properties.nbh_idx in inputs:
+        if properties.cell_qidx in inputs:
+            # cell-blocked layout: MXU selection gather (scatter-free VJP)
+            from ..ops.cellblock import cell_gather
+
+            Rj = cell_gather(R, inputs[properties.cell_qidx])
+            inputs[properties.nbh_rij] = (
+                Rj + inputs[properties.nbh_offsets]
+                - R[:, None, :] * inputs[properties.nbh_mask][..., None]
+            )
+        elif properties.nbh_idx in inputs:
             # dense layout: [A, K, 3] displacements
             nbh = inputs[properties.nbh_idx]
             inputs[properties.nbh_rij] = (

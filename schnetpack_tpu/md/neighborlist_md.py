@@ -135,6 +135,103 @@ class DenseNeighborListMD:
         }
 
 
+class CellBlockNeighborListMD:
+    """Cell-blocked neighbor layout with a Verlet skin (the TPU fast path).
+
+    Atoms are cell-sorted and the per-step neighbor gathers run as MXU
+    selection matmuls (``ops/cellblock.py``) — no row gathers, no scatters.
+    Host rebuilds happen between scan chunks only when an atom moved more
+    than skin/2 (same heuristic as :class:`DenseNeighborListMD`).  The
+    state dict carries the sorted-space system arrays so the MD scan stays
+    fully on device between rebuilds.
+    """
+
+    def __init__(self, cutoff: float, skin: float = 0.6, k_multiple: int = 4,
+                 capacity_headroom: int = 2):
+        self.cutoff = float(cutoff)
+        self.skin = float(skin)
+        self.k_multiple = k_multiple
+        self.capacity_headroom = capacity_headroom
+        self._layout = None
+        self._dims = None
+        self._K = None
+        self._C = None
+        self._build_positions = None
+        self._state = None
+
+    def build(self, system: System) -> None:
+        from ..ops.cellblock import build_cell_layout
+
+        if system.n_replicas != 1:
+            raise NotImplementedError(
+                "CellBlockNeighborListMD supports n_replicas == 1"
+            )
+        R_np = np.asarray(jax.device_get(system.positions))[0]
+        cells = np.asarray(jax.device_get(system.cells))
+        pbc = np.asarray(jax.device_get(system.pbc))
+        if system.n_molecules != 1:
+            # one global grid over all molecules requires a single box;
+            # multi-molecule MD should use the dense/all-pairs layouts
+            raise NotImplementedError(
+                "CellBlockNeighborListMD supports a single molecule/box"
+            )
+        cell = cells[0, 0]
+        use_pbc = pbc[0] if pbc[0].any() else None
+
+        try:
+            layout = build_cell_layout(
+                R_np, self.cutoff + self.skin,
+                cell if np.abs(cell).sum() > 0 else None, use_pbc,
+                capacity=self._C, n_neighbors=self._K, dims=self._dims,
+                capacity_headroom=self.capacity_headroom,
+                k_multiple=self.k_multiple,
+            )
+        except ValueError:
+            # sticky C/K/dims no longer fit — re-derive (recompiles the scan)
+            layout = build_cell_layout(
+                R_np, self.cutoff + self.skin,
+                cell if np.abs(cell).sum() > 0 else None, use_pbc,
+                capacity_headroom=self.capacity_headroom,
+                k_multiple=self.k_multiple,
+            )
+        nx, ny, nz, C, K = layout.dims
+        self._dims = (nx, ny, nz)
+        self._C, self._K = C, K
+        self._layout = layout
+
+        # sorted-space static atom arrays
+        Z = np.asarray(jax.device_get(system.atomic_numbers))
+        idx_m = np.asarray(jax.device_get(system.idx_m))
+        order = layout.order
+        dtype = system.positions.dtype
+        self._state = {
+            structure.cell_qidx: jnp.asarray(layout.qidx),
+            structure.nbh_idx: jnp.asarray(layout.nbh_idx),
+            structure.nbh_mask: jnp.asarray(layout.nbh_mask, dtype),
+            structure.nbh_offsets: jnp.asarray(layout.nbh_offsets, dtype),
+            "cell_order": jnp.asarray(layout.order),
+            "cell_rank": jnp.asarray(layout.rank),
+            "cell_Z": jnp.asarray(Z[order] * (layout.slot_mask > 0)),
+            "cell_idx_m": jnp.asarray(idx_m[order] * (layout.slot_mask > 0)),
+            "cell_atom_mask": jnp.asarray(layout.slot_mask, dtype),
+        }
+        self._build_positions = np.asarray(jax.device_get(system.positions)).copy()
+
+    def maybe_rebuild(self, system: System) -> bool:
+        if self._state is None:
+            self.build(system)
+            return True
+        R_np = np.asarray(jax.device_get(system.positions))
+        disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
+        if disp2 > (self.skin / 2.0) ** 2:
+            self.build(system)
+            return True
+        return False
+
+    def state(self) -> Dict[str, jax.Array]:
+        return self._state
+
+
 class AllPairsNeighborListMD:
     """Static all-pairs (same-molecule) index set + per-step device masking."""
 

@@ -67,6 +67,10 @@ nbh_offsets: Final[str] = "_nbh_offsets"
 nbh_rij: Final[str] = "_nbh_Rij"
 #: reverse-edge map [n_atoms, K]: flat index of each edge's reverse edge
 nbh_rev: Final[str] = "_nbh_rev"
+#: cell-blocked candidate neighbor indices [nx, ny, nz, C, K] int32
+#: (presence switches representations to the MXU selection-gather path;
+#: atoms must be cell-sorted and the nbh_* arrays given in sorted space)
+cell_qidx: Final[str] = "_cell_qidx"
 
 # --- TPU padded-batch layout ------------------------------------------------
 #: 1.0 for real atoms, 0.0 for padding [n_atoms]

@@ -48,13 +48,25 @@ class PaiNNInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, q, mu, Wij, dir_ij, idx_i=None, idx_j=None, nbh_idx=None,
-                 nbh_rev=None, nbh_mask=None):
+                 nbh_rev=None, nbh_mask=None, fused_ctx=None):
         F = self.n_atom_basis
         A = q.shape[0]
         x = Dense(F, activation=self.activation, name="ctx_0")(q)
         x = Dense(3 * F, name="ctx_1")(x)
 
-        if nbh_idx is not None:
+        if fused_ctx is not None:
+            # cell-blocked layout: gather + filter + message + K-sum run as
+            # one fused kernel; no [A, K, 3F] tensor is ever materialised
+            from ..ops.painn_fused import painn_message_cellblock
+
+            rbf_aug, FW_aug, cell_qidx = fused_ctx
+            xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
+            dq_sum, dmu_sum = painn_message_cellblock(
+                xmu, rbf_aug, dir_ij, FW_aug, cell_qidx
+            )
+            q = q + dq_sum
+            mu = mu + dmu_sum.reshape(A, 3, F)
+        elif nbh_idx is not None:
             if nbh_rev is not None:
                 # scatter-free backward via the reverse-edge map
                 xj = neighbor_gather(x, nbh_idx, nbh_rev, nbh_mask) * Wij
@@ -130,6 +142,7 @@ class PaiNN(nn.Module):
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
+        cell_qidx = inputs.get(properties.cell_qidx)
         if dense:
             Rij = inputs[properties.nbh_rij]               # [A, K, 3]
             nbh_idx = inputs[properties.nbh_idx]
@@ -149,14 +162,35 @@ class PaiNN(nn.Module):
             fcut = cutoff_fn(d_ij) * inputs[properties.pair_mask]
 
         phi_ij = radial(d_ij)
+        n_filt = 3 * F if self.shared_filters else self.n_interactions * 3 * F
+        filter_net = Dense(n_filt, name="filter_net")
 
+        fused_ctx_list = None
+        if cell_qidx is not None:
+            # fused kernel path: the filter Dense is applied *inside* the
+            # kernel, so extract its weight matrix (rows = basis functions,
+            # plus a bias row driven by an fcut channel) instead of
+            # materialising filters [A, K, n_interactions*3F]
+            B = phi_ij.shape[-1]
+            bias = filter_net(jnp.zeros((1, B), phi_ij.dtype))[0]
+            FWm = filter_net(jnp.eye(B, dtype=phi_ij.dtype)) - bias[None]
+            rbf_aug = jnp.concatenate(
+                [phi_ij * fcut[..., None], fcut[..., None]], axis=-1
+            )
+            fused_ctx_list = []
+            for t in range(self.n_interactions):
+                s = 0 if self.shared_filters else t * 3 * F
+                FW_aug = jnp.concatenate(
+                    [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
+                )
+                fused_ctx_list.append((rbf_aug, FW_aug, cell_qidx))
+            filter_list = [None] * self.n_interactions
         # all filters computed once from the radial basis (painn.py:232-236)
-        if self.shared_filters:
-            filters = Dense(3 * F, name="filter_net")(phi_ij) * fcut[..., None]
+        elif self.shared_filters:
+            filters = filter_net(phi_ij) * fcut[..., None]
             filter_list = [filters] * self.n_interactions
         else:
-            filters = Dense(self.n_interactions * 3 * F, name="filter_net")(phi_ij)
-            filters = filters * fcut[..., None]
+            filters = filter_net(phi_ij) * fcut[..., None]
             filter_list = jnp.split(filters, self.n_interactions, axis=-1)
 
         if self.nuclear_embedding:
@@ -194,7 +228,8 @@ class PaiNN(nn.Module):
             ]
         for t, (inter, mix) in enumerate(blocks):
             q, mu = inter(q, mu, filter_list[t], dir_ij, idx_i, idx_j, nbh_idx,
-                          nbh_rev, nbh_mask)
+                          nbh_rev, nbh_mask,
+                          fused_ctx_list[t] if fused_ctx_list else None)
             q, mu = mix(q, mu)
 
         inputs[properties.scalar_representation] = q

@@ -75,7 +75,7 @@ def main():
     system = load_molecules([mol])
     system = MaxwellBoltzmannInit(30.0).initialize_system(system, jax.random.PRNGKey(1))
     calc = SchNetPackCalculator(
-        pot, params, cutoff=cutoff, cutoff_shell=0.3, neighbor_list="dense",
+        pot, params, cutoff=cutoff, cutoff_shell=0.3, neighbor_list="cellblock",
     )
     sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False,
                     log_keys=("energy", "temperature"))
@@ -117,6 +117,16 @@ def main():
     t0 = time.time()
     jax.block_until_ready(run(batch2[P.R]))
     force_eval_ms = (time.time() - t0) / 20 * 1e3
+
+    # FLOP accounting via the compiled executable (per force evaluation);
+    # MFU is relative to the chip's f32-equivalent MXU peak
+    try:
+        cost = jax.jit(chained).lower(batch2[P.R]).compile().cost_analysis()
+        flops_per_eval = float(cost.get("flops", 0.0)) / 20
+    except Exception:
+        flops_per_eval = float("nan")
+    tflops = flops_per_eval / (force_eval_ms * 1e-3) / 1e12
+
     print(
         json.dumps(
             {
@@ -129,7 +139,9 @@ def main():
                     "ms_per_step": round(dt * 1e3, 3),
                     "force_eval_ms": round(force_eval_ms, 3),
                     "force_eval_atom_steps_per_sec": round(n_atoms / force_eval_ms * 1e3, 1),
-                    "what": "full NVE MD loop (PaiNN-128x3, dense NBL + skin)",
+                    "force_eval_gflops": round(flops_per_eval / 1e9, 2),
+                    "achieved_tflops_per_sec": round(tflops, 2),
+                    "what": "full NVE MD loop (PaiNN-128x3, column-kernel NBL + skin)",
                     "timing": "lax.scan chunks, sequential dependency",
                     "device": str(jax.devices()[0]),
                 },

@@ -26,7 +26,22 @@ class PairwiseDistances(nn.Module):
         offsets = inputs[properties.offsets]
         Rij = jnp.take(R, idx_j, axis=0) - jnp.take(R, idx_i, axis=0) + offsets
         inputs[properties.Rij] = Rij
-        if properties.cell_qidx in inputs:
+        if properties.cell_qcol in inputs:
+            # column-bucketed layout: per-edge displacements from two MXU
+            # selection kernels (gather source rows, expand destination rows)
+            from ..ops.colblock import ColRefs, column_expand, column_gather
+
+            qc = inputs[properties.cell_qcol]
+            ksizes = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
+            P = R.shape[0] // (qc.shape[0] * qc.shape[1])
+            refs = ColRefs(qc, inputs[properties.cell_dcol], P, ksizes)
+            Rj = column_gather(R, refs)
+            Ri = column_expand(R, refs)
+            emask = inputs[properties.cell_emask][..., None]
+            inputs[properties.col_rij] = (
+                Rj + inputs[properties.cell_coff] * emask - Ri
+            )
+        elif properties.cell_qidx in inputs:
             # cell-blocked layout: MXU selection gather (scatter-free VJP)
             from ..ops.cellblock import cell_gather
 

@@ -60,12 +60,13 @@ class SchNetPackCalculator(PairwiseMDCalculator):
                 cutoff * self.position_conversion,
                 skin=max(cutoff_shell, 0.5) * self.position_conversion,
             )
-        elif neighbor_list == "cellblock":
+        elif neighbor_list in ("cellblock", "cellblock_atom"):
             from ..neighborlist_md import CellBlockNeighborListMD
 
             self.dense_nbl = CellBlockNeighborListMD(
                 cutoff * self.position_conversion,
                 skin=max(cutoff_shell, 0.3) * self.position_conversion,
+                layout="column" if neighbor_list == "cellblock" else "atom",
             )
         else:
             self.dense_nbl = None
@@ -88,19 +89,28 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         inputs = self._get_system_molecules(system)
         if calc_state is not None:
             inv = 1.0 / self.position_conversion
-            if structure.cell_qidx in calc_state:
-                # cell-blocked layout: model runs in cell-sorted space
+            if "cell_order" in calc_state:
+                # blocked layouts: model runs in cell-sorted space
                 order = calc_state["cell_order"]
                 inputs[structure.R] = jnp.take(inputs[structure.R], order, axis=0)
                 inputs[structure.Z] = calc_state["cell_Z"]
                 inputs[structure.idx_m] = calc_state["cell_idx_m"]
                 inputs[structure.atom_mask] = calc_state["cell_atom_mask"]
-                inputs[structure.cell_qidx] = calc_state[structure.cell_qidx]
+            if structure.cell_qcol in calc_state:
+                # column-bucketed layout
+                inputs[structure.cell_qcol] = calc_state[structure.cell_qcol]
+                inputs[structure.cell_dcol] = calc_state[structure.cell_dcol]
+                inputs[structure.cell_emask] = calc_state[structure.cell_emask]
+                inputs[structure.cell_ksz] = calc_state[structure.cell_ksz]
+                inputs[structure.cell_coff] = calc_state[structure.cell_coff] * inv
             else:
-                inputs[structure.nbh_rev] = calc_state[structure.nbh_rev]
-            inputs[structure.nbh_idx] = calc_state[structure.nbh_idx]
-            inputs[structure.nbh_mask] = calc_state[structure.nbh_mask]
-            inputs[structure.nbh_offsets] = calc_state[structure.nbh_offsets] * inv
+                if structure.cell_qidx in calc_state:
+                    inputs[structure.cell_qidx] = calc_state[structure.cell_qidx]
+                else:
+                    inputs[structure.nbh_rev] = calc_state[structure.nbh_rev]
+                inputs[structure.nbh_idx] = calc_state[structure.nbh_idx]
+                inputs[structure.nbh_mask] = calc_state[structure.nbh_mask]
+                inputs[structure.nbh_offsets] = calc_state[structure.nbh_offsets] * inv
             # the model also expects a (possibly empty) flat pair list
             dt = inputs[structure.R].dtype
             inputs.setdefault(structure.idx_i, jnp.zeros(1, jnp.int32))
@@ -114,7 +124,7 @@ class SchNetPackCalculator(PairwiseMDCalculator):
     def calculate(self, system: System, calc_state=None) -> System:
         inputs = self._model_inputs(system, calc_state)
         outputs = self.model.apply(self.params, inputs, do_postprocessing=False)
-        if calc_state is not None and structure.cell_qidx in calc_state:
+        if calc_state is not None and "cell_rank" in calc_state:
             # back to canonical atom order for the System update
             rank = calc_state["cell_rank"]
             Ap = inputs[structure.R].shape[0]

@@ -146,12 +146,13 @@ class CellBlockNeighborListMD:
     fully on device between rebuilds.
     """
 
-    def __init__(self, cutoff: float, skin: float = 0.6, k_multiple: int = 4,
-                 capacity_headroom: int = 2):
+    def __init__(self, cutoff: float, skin: float = 0.6, k_multiple: int = 2,
+                 capacity_headroom: int = 1, layout: str = "column"):
         self.cutoff = float(cutoff)
         self.skin = float(skin)
         self.k_multiple = k_multiple
         self.capacity_headroom = capacity_headroom
+        self.layout_kind = layout  # "column" (fast kernels) | "atom"
         self._layout = None
         self._dims = None
         self._K = None
@@ -160,7 +161,7 @@ class CellBlockNeighborListMD:
         self._state = None
 
     def build(self, system: System) -> None:
-        from ..ops.cellblock import build_cell_layout
+        from ..ops.cellblock import build_cell_layout, build_column_layout
 
         if system.n_replicas != 1:
             raise NotImplementedError(
@@ -177,26 +178,44 @@ class CellBlockNeighborListMD:
             )
         cell = cells[0, 0]
         use_pbc = pbc[0] if pbc[0].any() else None
+        use_cell = cell if np.abs(cell).sum() > 0 else None
+        rc = self.cutoff + self.skin
 
-        try:
-            layout = build_cell_layout(
-                R_np, self.cutoff + self.skin,
-                cell if np.abs(cell).sum() > 0 else None, use_pbc,
-                capacity=self._C, n_neighbors=self._K, dims=self._dims,
-                capacity_headroom=self.capacity_headroom,
-                k_multiple=self.k_multiple,
-            )
-        except ValueError:
-            # sticky C/K/dims no longer fit — re-derive (recompiles the scan)
-            layout = build_cell_layout(
-                R_np, self.cutoff + self.skin,
-                cell if np.abs(cell).sum() > 0 else None, use_pbc,
-                capacity_headroom=self.capacity_headroom,
-                k_multiple=self.k_multiple,
-            )
-        nx, ny, nz, C, K = layout.dims
-        self._dims = (nx, ny, nz)
-        self._C, self._K = C, K
+        if self.layout_kind == "column":
+            try:
+                layout = build_column_layout(
+                    R_np, rc, use_cell, use_pbc, capacity=self._C,
+                    bucket_size=self._K, dims=self._dims,
+                    capacity_headroom=self.capacity_headroom,
+                )
+            except ValueError:
+                # sticky shapes no longer fit — re-derive (recompiles)
+                layout = build_column_layout(
+                    R_np, rc, use_cell, use_pbc,
+                    capacity_headroom=self.capacity_headroom,
+                )
+        else:
+            try:
+                layout = build_cell_layout(
+                    R_np, rc, use_cell, use_pbc, capacity=self._C,
+                    n_neighbors=self._K, dims=self._dims,
+                    capacity_headroom=self.capacity_headroom,
+                    k_multiple=self.k_multiple,
+                )
+            except ValueError:
+                layout = build_cell_layout(
+                    R_np, rc, use_cell, use_pbc,
+                    capacity_headroom=self.capacity_headroom,
+                    k_multiple=self.k_multiple,
+                )
+        if self.layout_kind == "column":
+            nx, ny, P, ksizes = layout.dims
+            self._dims = (nx, ny, 1)
+            self._C, self._K = P, ksizes
+        else:
+            nx, ny, nz, C, K = layout.dims
+            self._dims = (nx, ny, nz)
+            self._C, self._K = C, K
         self._layout = layout
 
         # sorted-space static atom arrays
@@ -204,17 +223,31 @@ class CellBlockNeighborListMD:
         idx_m = np.asarray(jax.device_get(system.idx_m))
         order = layout.order
         dtype = system.positions.dtype
-        self._state = {
-            structure.cell_qidx: jnp.asarray(layout.qidx),
-            structure.nbh_idx: jnp.asarray(layout.nbh_idx),
-            structure.nbh_mask: jnp.asarray(layout.nbh_mask, dtype),
-            structure.nbh_offsets: jnp.asarray(layout.nbh_offsets, dtype),
+        if self.layout_kind == "column":
+            nbl_state = {
+                structure.cell_qcol: jnp.asarray(layout.qcol),
+                structure.cell_dcol: jnp.asarray(layout.dcol),
+                structure.cell_coff: jnp.asarray(layout.offcol, dtype),
+                structure.cell_emask: jnp.asarray(layout.emask, dtype),
+                structure.cell_ksz: tuple(
+                    jnp.zeros((k,), jnp.int8) for k in layout.ksizes
+                ),
+            }
+        else:
+            nbl_state = {
+                structure.cell_qidx: jnp.asarray(layout.qidx),
+                structure.nbh_idx: jnp.asarray(layout.nbh_idx),
+                structure.nbh_mask: jnp.asarray(layout.nbh_mask, dtype),
+                structure.nbh_offsets: jnp.asarray(layout.nbh_offsets, dtype),
+            }
+        nbl_state.update({
             "cell_order": jnp.asarray(layout.order),
             "cell_rank": jnp.asarray(layout.rank),
             "cell_Z": jnp.asarray(Z[order] * (layout.slot_mask > 0)),
             "cell_idx_m": jnp.asarray(idx_m[order] * (layout.slot_mask > 0)),
             "cell_atom_mask": jnp.asarray(layout.slot_mask, dtype),
-        }
+        })
+        self._state = nbl_state
         self._build_positions = np.asarray(jax.device_get(system.positions)).copy()
 
     def maybe_rebuild(self, system: System) -> bool:

@@ -272,7 +272,8 @@ def _autotune_grid(
         n = np.maximum(1, (n_max / g).astype(np.int64))
         bins = np.minimum((frac * n).astype(np.int64), n - 1)
         cid = (bins[:, 0] * n[1] + bins[:, 1]) * n[2] + bins[:, 2]
-        C = int(np.bincount(cid).max(initial=1))
+        occ = int(np.bincount(cid).max(initial=1))
+        C = -(-(occ + 1) // 8) * 8  # kernel capacity (8-aligned)
         cost = float(np.prod(n)) * C * C
         if best_cost is None or cost < best_cost * 0.95:
             best, best_cost = n, cost
@@ -286,8 +287,8 @@ def build_cell_layout(
     pbc: Optional[np.ndarray] = None,
     capacity: Optional[int] = None,
     n_neighbors: Optional[int] = None,
-    capacity_headroom: int = 2,
-    k_multiple: int = 4,
+    capacity_headroom: int = 1,
+    k_multiple: int = 2,
     dims: Optional[Tuple[int, int, int]] = None,
     edges: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
 ) -> CellLayout:
@@ -322,7 +323,10 @@ def build_cell_layout(
     n_cells = nx * ny * nz
 
     counts = np.bincount(cell_id, minlength=n_cells)
-    C = int(counts.max(initial=1)) + capacity_headroom
+    # capacity rounds up to a multiple of 8: the Pallas kernels slice the
+    # halo'd columns at z*C row offsets, which Mosaic requires to be
+    # sublane-aligned (multiples of 8)
+    C = -(-(int(counts.max(initial=1)) + capacity_headroom) // 8) * 8
     if capacity is not None:
         if capacity < counts.max(initial=1):
             raise ValueError(
@@ -412,6 +416,245 @@ def build_cell_layout(
         nbh_idx=nbh_idx,
         nbh_mask=nbh_mask,
         nbh_offsets=nbh_offsets,
+    )
+
+
+class ColumnLayout:
+    """Column-bucketed edge layout (numpy arrays) — the fast-kernel format.
+
+    Every edge is assigned to its *destination* xy-column (x, y) and the
+    bucket c9 = (dx+1)*3 + (dy+1) of its source column offset.  Within a
+    bucket, the edge's source is addressed simply by its row in the
+    source column (atoms are packed per xy-column with static capacity P,
+    z-sorted inside).  The neighbor gather then runs as 9 MXU one-hot
+    dots per column against *resident* whole columns — no z binning, no
+    z-halos, no per-z candidate-tile assembly at all (cf. the 27-cell
+    per-z scheme of :func:`build_cell_layout`, which this supersedes on
+    TPU); periodic z images are exact because every edge carries its
+    Cartesian offset.
+
+    Bucket occupancies are wildly uneven (the c9 = 4 center bucket holds
+    all intra-column edges), so buckets are *ragged*: bucket c9 has its
+    own static capacity ksizes[c9] (multiple of 8) and all per-edge
+    arrays are packed along one edge axis of length Ktot = sum(ksizes);
+    bucket c9 occupies rows [koffs[c9], koffs[c9] + ksizes[c9]).
+
+    Attributes:
+        dims: (nx, ny, P, ksizes: tuple of 9 ints)
+        order/rank/slot_mask: as in :class:`CellLayout` (slot = col*P + r)
+        qcol:  [nx, ny, Ktot] int32 in-column row of the source (-1 pad)
+        dcol:  [nx, ny, Ktot] int32 in-column row of the destination (-1 pad)
+        icol/jcol: [nx, ny, Ktot] int32 global sorted indices (0 pad)
+        offcol: [nx, ny, Ktot, 3] float Cartesian periodic offsets
+        emask: [nx, ny, Ktot] float32 1.0 for real edges
+    """
+
+    __slots__ = (
+        "dims", "order", "rank", "slot_mask",
+        "qcol", "dcol", "icol", "jcol", "offcol", "emask",
+    )
+
+    def __init__(self, **kw):
+        for k in self.__slots__:
+            setattr(self, k, kw[k])
+
+    @property
+    def ksizes(self):
+        return self.dims[3]
+
+    @property
+    def column_capacity(self):
+        return self.dims[2]
+
+
+def build_column_layout(
+    R: np.ndarray,
+    cutoff: float,
+    cell: Optional[np.ndarray] = None,
+    pbc: Optional[np.ndarray] = None,
+    capacity: Optional[int] = None,
+    bucket_size: Optional[int] = None,
+    capacity_headroom: int = 1,
+    dims: Optional[Tuple[int, int, int]] = None,
+    edges: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+) -> ColumnLayout:
+    """Bin atoms cell-major and bucket edges by (destination column, c9).
+
+    Same binning/sorting as :func:`build_cell_layout`; ``bucket_size``
+    pins Kcol for shape stability across MD rebuilds.
+    """
+    R = np.asarray(R, np.float64)
+    A = len(R)
+    n_max, origin, basis, pbc_arr = _grid_dims(R, cutoff, cell, pbc)
+
+    frac_raw = (R - origin) @ np.linalg.inv(basis)
+    wrap = np.where(pbc_arr, np.floor(frac_raw), 0.0)
+    frac = np.where(
+        pbc_arr, frac_raw - wrap, np.clip(frac_raw, 0.0, 1.0 - 1e-9)
+    )
+
+    # edges first — they are grid-independent and drive the grid autotune
+    if edges is None:
+        from ..transform.neighborlist import cell_list_neighbor_list
+
+        use_cell = cell if (pbc_arr.any() and cell is not None) else None
+        ii, jj, S = cell_list_neighbor_list(
+            R, cutoff, use_cell, pbc_arr if pbc_arr.any() else None
+        )
+    else:
+        ii, jj, S = edges
+    S = np.asarray(S, np.int64)
+    if cell is not None and np.abs(np.asarray(cell)).sum() > 0:
+        off = S.astype(np.float64) @ np.asarray(cell, np.float64)
+    else:
+        off = np.zeros((len(ii), 3))
+
+    def _grid_stats(n):
+        """(P, ksizes, Ktot) for a candidate xy grid (ragged-pad aware)."""
+        nx, ny = int(n[0]), int(n[1])
+        bins = np.minimum((frac[:, :2] * [nx, ny]).astype(np.int64),
+                          [nx - 1, ny - 1])
+        bins_raw = bins + wrap[:, :2].astype(np.int64) * [nx, ny]
+        col_id = bins[:, 0] * ny + bins[:, 1]
+        occ = np.bincount(col_id, minlength=nx * ny)
+        P = -(-(int(occ.max(initial=1)) + capacity_headroom) // 8) * 8
+        d2 = bins_raw[jj] + S[:, :2] * [nx, ny] - bins_raw[ii]
+        for k in range(2):
+            if n[k] >= 3:
+                if len(ii) and np.abs(d2[:, k]).max() > 1:
+                    return None
+            else:
+                d2[:, k] = np.mod(d2[:, k], n[k])
+        c9 = (d2[:, 0] + 1) * 3 + (d2[:, 1] + 1)
+        bucket = col_id[ii] * 9 + c9
+        bcnt = np.bincount(bucket, minlength=nx * ny * 9).reshape(-1, 9)
+        ks = tuple(int(-(-max(int(bcnt[:, b].max(initial=0)), 1) // 8) * 8)
+                   for b in range(9))
+        return P, ks, int(sum(ks))
+
+    if dims is not None:
+        n = np.asarray(dims, np.int64)
+    else:
+        # autotune the xy grid: padded kernel cost ~ columns*Ktot*P
+        # (selection dots over real+padded edge rows at depth P), plus a
+        # small weight on total atom slots (atomwise table ops)
+        best, best_cost = None, None
+        for g in range(int(max(n_max[0], n_max[1])), 0, -1):
+            cand = np.minimum(n_max, [g, g, 1])
+            st = _grid_stats(cand)
+            if st is None:
+                continue
+            P_c, _, Ktot_c = st
+            ncol = int(cand[0]) * int(cand[1])
+            cost = ncol * Ktot_c * P_c + 50 * ncol * P_c
+            if best_cost is None or cost < best_cost * 0.98:
+                best, best_cost = cand, cost
+            if ncol == 1:
+                break
+        n = best
+    n = np.array([int(n[0]), int(n[1]), 1], np.int64)
+    nx, ny, nz = (int(v) for v in n)
+
+    bins = np.minimum((frac * n).astype(np.int64), n - 1)
+    bins_raw = bins + wrap.astype(np.int64) * n
+    col_id = bins[:, 0] * ny + bins[:, 1]
+    n_cols = nx * ny
+
+    # per-xy-column capacity P: the kernels contract one-hots over whole
+    # resident columns, so only the xy grid is constrained (edge >= cutoff
+    # for the 9-stencil) — the z direction needs no binning at all
+    counts = np.bincount(col_id, minlength=n_cols)
+    P = -(-(int(counts.max(initial=1)) + capacity_headroom) // 8) * 8
+    if capacity is not None:
+        if capacity < counts.max(initial=1):
+            raise ValueError(
+                f"column capacity {capacity} < max occupancy {counts.max()}"
+            )
+        P = capacity
+
+    # sort atoms by (column, z) — z-order inside a column is free but keeps
+    # memory access local
+    order_real = np.lexsort((frac[:, 2], col_id))
+    starts = np.zeros(n_cols + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    slot = np.arange(A) - starts[col_id[order_real]]
+    rank = np.empty(A, np.int64)
+    rank[order_real] = col_id[order_real] * P + slot
+    Ap = n_cols * P
+    order = np.zeros(Ap, np.int64)
+    slot_mask = np.zeros(Ap, np.float32)
+    order[rank] = np.arange(A)
+    slot_mask[rank] = 1.0
+
+    d_bins = bins_raw[jj] + S * n[None, :] - bins_raw[ii]
+    for k in range(2):
+        if n[k] >= 3:
+            if len(ii) and np.abs(d_bins[:, k]).max() > 1:
+                raise ValueError(
+                    "neighbor outside the 9-column stencil: xy cell edge < "
+                    f"build cutoff (axis {k})"
+                )
+        else:
+            d_bins[:, k] = np.mod(d_bins[:, k], n[k])
+
+    r_i = rank[ii]
+    col_i = r_i // P
+    c9 = (d_bins[:, 0] + 1) * 3 + (d_bins[:, 1] + 1)
+    src = rank[jj] % P                    # row of j within its column
+    dst = r_i % P                         # row of i within its column
+
+    bucket = col_i * 9 + c9
+    n_buckets = nx * ny * 9
+    bcnt = np.bincount(bucket, minlength=n_buckets).reshape(nx * ny, 9)
+    # ragged static capacities: per-c9 max over columns, 8-aligned
+    ksizes = tuple(
+        int(-(-max(int(bcnt[:, b].max(initial=0)), 1) // 8) * 8)
+        for b in range(9)
+    )
+    if bucket_size is not None:
+        want = tuple(bucket_size)
+        if any(w < int(bcnt[:, b].max(initial=0)) for b, w in enumerate(want)):
+            raise ValueError(
+                f"bucket sizes {want} < max occupancies "
+                f"{tuple(int(v) for v in bcnt.max(axis=0))}"
+            )
+        ksizes = want
+    koffs = np.concatenate([[0], np.cumsum(ksizes)])
+    Ktot = int(koffs[-1])
+
+    e_order = np.argsort(bucket, kind="stable")
+    b_s = bucket[e_order]
+    b_starts = np.zeros(n_buckets + 1, np.int64)
+    np.cumsum(bcnt.reshape(-1), out=b_starts[1:])
+    k_slot = np.arange(len(b_s)) - b_starts[b_s]
+    # packed row: column-major block of Ktot rows, bucket c9 at koffs[c9]
+    row = (b_s // 9) * Ktot + koffs[b_s % 9] + k_slot
+
+    qcol = np.full((nx * ny, Ktot), -1, np.int32).reshape(-1)
+    dcol = np.full((nx * ny, Ktot), -1, np.int32).reshape(-1)
+    icol = np.zeros(nx * ny * Ktot, np.int32)
+    jcol = np.zeros(nx * ny * Ktot, np.int32)
+    offcol = np.zeros((nx * ny * Ktot, 3), np.float64)
+    emask = np.zeros(nx * ny * Ktot, np.float32)
+    qcol[row] = src[e_order]
+    dcol[row] = dst[e_order]
+    icol[row] = r_i[e_order]
+    jcol[row] = rank[jj][e_order]
+    offcol[row] = off[e_order]
+    emask[row] = 1.0
+
+    shp = (nx, ny, Ktot)
+    return ColumnLayout(
+        dims=(nx, ny, P, ksizes),
+        order=order.astype(np.int32),
+        rank=rank.astype(np.int32),
+        slot_mask=slot_mask,
+        qcol=qcol.reshape(shp),
+        dcol=dcol.reshape(shp),
+        icol=icol.reshape(shp),
+        jcol=jcol.reshape(shp),
+        offcol=offcol.reshape(shp + (3,)),
+        emask=emask.reshape(shp),
     )
 
 

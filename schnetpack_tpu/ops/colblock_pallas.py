@@ -1,0 +1,517 @@
+"""Fused Pallas kernels for the column-bucketed neighbor layout.
+
+Kernel shape (grid = (nx, ny), everything per destination xy-column):
+
+* the 9 source columns (whole xy-columns of the packed table, capacity
+  P) arrive as windowed block views (modular index_map) and stay
+  **resident** — the one-hot selection contracts over the whole column
+  [P, D]; no z binning, no z-halos, no candidate-tile assembly (the
+  measured bottleneck of the 27-cell kernels);
+* buckets are ragged (static per-c9 capacities, packed edge axis); the
+  kernel slices bucket c9 at the static offset koffs[c9], so every slice
+  start is compile-time constant and sublane-aligned;
+* bf16 split pieces make the selection exact to ``pieces`` terms
+  (one-hot entries are exact in bf16);
+* per-destination-atom sums run as a second one-hot fold over the
+  in-column destination row dcol (depth P);
+* backward writes 9 per-source-column partials that XLA folds with one
+  roll each — scatter-free end to end.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import cellblock as _cb
+from .cellblock_pallas import COL_OFFSETS, _split_f32
+
+HI = jax.lax.Precision.HIGHEST
+
+
+def _interp():
+    return _cb._impl() == "pallas_interpret"
+
+
+def _koffs(ksizes):
+    out, acc = [], 0
+    for k in ksizes:
+        out.append(acc)
+        acc += k
+    return tuple(out) + (acc,)
+
+
+def _vmem_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+
+def _cols(table, nx, ny, P):
+    """[nx, ny, P, D] column view of the packed table (pure reshape)."""
+    return table.reshape(nx, ny, P, table.shape[-1])
+
+
+def _col_view_specs(nx, ny, rows, D, pieces):
+    return [
+        pl.BlockSpec(
+            (1, 1, rows, D),
+            functools.partial(
+                lambda i, j, di, dj: ((i + di) % nx, (j + dj) % ny, 0, 0),
+                di=di, dj=dj,
+            ),
+        )
+        for _ in range(pieces)
+        for di, dj in COL_OFFSETS
+    ]
+
+
+def _fold_partials(partials, nx, ny, P, D):
+    """Fold 9 per-source-column partials back onto the table (rolls only)."""
+    dT = None
+    for (dx, dy), p in zip(COL_OFFSETS, partials):
+        r = jnp.roll(p, (dx, dy), axis=(0, 1))
+        dT = r if dT is None else dT + r
+    return dT.reshape(nx * ny * P, D)
+
+
+def _oh(idx_ref, off, k, depth):
+    """One-hot [k, depth] for packed rows [off, off+k) (-1 -> zero row)."""
+    v = idx_ref[0, 0, 0, off:off + k]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (k, depth), 1)
+    return (v[:, None] == iota).astype(jnp.bfloat16)
+
+
+def _gather_bucket(cols, oh, c9, pieces):
+    """[k, D] selection of source rows from the resident halo'd column."""
+    acc = None
+    for piece in range(pieces):
+        d = jax.lax.dot_general(
+            oh, cols[piece * 9 + c9][0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
+# ---------------------------------------------------------------- gather
+def _gather_fwd_kernel(q_ref, *args, P, ks, pieces):
+    cols, out_ref = args[:9 * pieces], args[9 * pieces]
+    offs = _koffs(ks)
+    for c9 in range(9):
+        oh = _oh(q_ref, offs[c9], ks[c9], P)
+        out_ref[0, 0, offs[c9]:offs[c9] + ks[c9]] = _gather_bucket(
+            cols, oh, c9, pieces)
+
+
+def _gather_fwd_call(table, qcol, P, ks, pieces):
+    nx, ny, Ktot = qcol.shape
+    D = table.shape[-1]
+    rows = P
+    halos = [_cols(p, nx, ny, P) for p in _split_f32(table, pieces)]
+    return pl.pallas_call(
+        functools.partial(_gather_fwd_kernel, P=P, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0))]
+        + _col_view_specs(nx, ny, rows, D, pieces),
+        out_specs=pl.BlockSpec((1, 1, Ktot, D), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, Ktot, D), table.dtype),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], *[h for h in halos for _ in range(9)])
+
+
+def _gather_bwd_kernel(q_ref, g_ref, *out_refs, P, ks, pieces):
+    offs = _koffs(ks)
+    for c9 in range(9):
+        oh = _oh(q_ref, offs[c9], ks[c9], P)
+        acc = None
+        for piece in _split_f32(g_ref[0, 0, offs[c9]:offs[c9] + ks[c9]],
+                                pieces):
+            d = jax.lax.dot_general(
+                oh, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        out_refs[c9][0, 0] = acc
+
+
+def _gather_bwd_call(g, qcol, P, ks, pieces):
+    nx, ny, Ktot = qcol.shape
+    D = g.shape[-1]
+    rows = P
+    partials = pl.pallas_call(
+        functools.partial(_gather_bwd_kernel, P=P, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, D), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, rows, D), lambda i, j: (i, j, 0, 0))
+            for _ in range(9)
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nx, ny, rows, D), g.dtype) for _ in range(9)
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], g)
+    return _fold_partials(partials, nx, ny, P, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _column_gather_p(table, qcol, P, ks):
+    return _gather_fwd_call(table, qcol, P, ks, _cb.PIECES)
+
+
+def _cg_fwd(table, qcol, P, ks):
+    return _column_gather_p(table, qcol, P, ks), (table.shape, qcol)
+
+
+def _cg_bwd(P, ks, res, g):
+    table_shape, qcol = res
+    dT = _gather_bwd_call(g, qcol, P, ks, _cb.PIECES)
+    return dT.reshape(table_shape), None
+
+
+_column_gather_p.defvjp(_cg_fwd, _cg_bwd)
+
+
+def column_gather_pallas(table, refs):
+    return _column_gather_p(table, refs.qcol, refs.P, refs.ksizes)
+
+
+# --------------------------------------------------------- expand / fold
+def _expand_fwd_kernel(d_ref, *args, P, ks, pieces):
+    tbls, out_ref = args[:pieces], args[pieces]
+    offs = _koffs(ks)
+    for c9 in range(9):
+        oh = _oh(d_ref, offs[c9], ks[c9], P)
+        acc = None
+        for piece in range(pieces):
+            d = jax.lax.dot_general(
+                oh, tbls[piece][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        out_ref[0, 0, offs[c9]:offs[c9] + ks[c9]] = acc
+
+
+def _expand_call(table, dcol, P, ks, pieces):
+    nx, ny, Ktot = dcol.shape
+    D = table.shape[-1]
+    tcols = [p.reshape(nx, ny, P, D) for p in _split_f32(table, pieces)]
+    return pl.pallas_call(
+        functools.partial(_expand_fwd_kernel, P=P, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0))]
+        + [pl.BlockSpec((1, 1, P, D), lambda i, j: (i, j, 0, 0))
+           for _ in range(pieces)],
+        out_specs=pl.BlockSpec((1, 1, Ktot, D), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, Ktot, D), table.dtype),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(dcol[:, :, None, :], *tcols)
+
+
+def _fold_fwd_kernel(d_ref, g_ref, out_ref, *, P, ks, pieces):
+    offs = _koffs(ks)
+    acc = None
+    for c9 in range(9):
+        oh = _oh(d_ref, offs[c9], ks[c9], P)
+        for piece in _split_f32(g_ref[0, 0, offs[c9]:offs[c9] + ks[c9]],
+                                pieces):
+            d = jax.lax.dot_general(
+                oh, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+    out_ref[0, 0] = acc
+
+
+def _fold_call(edge_vals, dcol, P, ks, pieces):
+    nx, ny, Ktot = dcol.shape
+    D = edge_vals.shape[-1]
+    out = pl.pallas_call(
+        functools.partial(_fold_fwd_kernel, P=P, ks=ks, pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, D), lambda i, j: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, P, D), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((nx, ny, P, D), edge_vals.dtype),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(dcol[:, :, None, :], edge_vals)
+    return out.reshape(nx * ny * P, D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _column_expand_p(table, dcol, P, ks):
+    return _expand_call(table, dcol, P, ks, _cb.PIECES)
+
+
+def _ce_fwd(table, dcol, P, ks):
+    return _column_expand_p(table, dcol, P, ks), (table.shape, dcol)
+
+
+def _ce_bwd(P, ks, res, g):
+    table_shape, dcol = res
+    dT = _fold_call(g, dcol, P, ks, _cb.PIECES)
+    return dT.reshape(table_shape), None
+
+
+_column_expand_p.defvjp(_ce_fwd, _ce_bwd)
+
+
+def column_expand_pallas(table, refs):
+    return _column_expand_p(table, refs.dcol, refs.P, refs.ksizes)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _column_fold_p(edge_vals, dcol, P, ks):
+    return _fold_call(edge_vals, dcol, P, ks, _cb.PIECES)
+
+
+def _cf_fwd(edge_vals, dcol, P, ks):
+    return _column_fold_p(edge_vals, dcol, P, ks), (edge_vals.shape, dcol)
+
+
+def _cf_bwd(P, ks, res, g):
+    ev_shape, dcol = res
+    dE = _expand_call(g, dcol, P, ks, _cb.PIECES)
+    return dE.reshape(ev_shape), None
+
+
+_column_fold_p.defvjp(_cf_fwd, _cf_bwd)
+
+
+def column_fold_pallas(edge_vals, refs):
+    return _column_fold_p(edge_vals, refs.dcol, refs.P, refs.ksizes)
+
+
+# --------------------------------------------------- fused PaiNN message
+def _msg_fwd_kernel(q_ref, d_ref, rbf_ref, dir_ref, FW_ref, *args,
+                    P, F, ks, pieces):
+    cols = args[:9 * pieces]
+    dq_ref, dmu_ref = args[9 * pieces:]
+    offs = _koffs(ks)
+    acc = None
+    for c9 in range(9):
+        o0, k = offs[c9], ks[c9]
+        ohj = _oh(q_ref, o0, k, P)
+        xmu_j = _gather_bucket(cols, ohj, c9, pieces)     # [k, 6F]
+        xj = xmu_j[:, : 3 * F]
+        W = jax.lax.dot_general(
+            rbf_ref[0, 0, o0:o0 + k], FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        xjW = xj * W
+        dqe = xjW[:, :F]
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        dirs = dir_ref[0, 0, o0:o0 + k]                   # [k, 3]
+        parts = [dqe]
+        for x in range(3):
+            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            parts.append(dmuR * dirs[:, x:x + 1] + dmumu * mujx)
+        msg = jnp.concatenate(parts, axis=-1)             # [k, 4F]
+        ohd = _oh(d_ref, o0, k, P)
+        for piece in _split_f32(msg, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d           # [P, 4F]
+    dq_ref[0, 0] = acc[:, :F]
+    dmu_ref[0, 0] = acc[:, F:]
+
+
+def _msg_fwd_call(xmu, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks, pieces):
+    nx, ny, Ktot = qcol.shape
+    A, D6 = xmu.shape
+    F = D6 // 6
+    B1 = rbf_aug.shape[-1]
+    rows = P
+    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    dq, dmu = pl.pallas_call(
+        functools.partial(_msg_fwd_kernel, P=P, F=F, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, B1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, 3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ] + _col_view_specs(nx, ny, rows, D6, pieces),
+        out_specs=(
+            pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, F), xmu.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, 3 * F), xmu.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], rbf_aug, dir_e, FW_aug,
+      *[h for h in halos for _ in range(9)])
+    return dq.reshape(A, F), dmu.reshape(A, 3 * F)
+
+
+def _msg_bwd_kernel(q_ref, d_ref, rbf_ref, dir_ref, FW_ref, gq_ref, gmu_ref,
+                    *args, P, F, ks, pieces):
+    cols = args[:9 * pieces]
+    outs = args[9 * pieces:]
+    part_refs = outs[:9]
+    grbf_ref, gdir_ref, gFW_ref = outs[9:]
+    offs = _koffs(ks)
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+
+    gcat = jnp.concatenate([gq_ref[0, 0], gmu_ref[0, 0]], axis=-1)  # [nzC,4F]
+    gcat_pieces = _split_f32(gcat, pieces)
+    for c9 in range(9):
+        o0, k = offs[c9], ks[c9]
+        ohj = _oh(q_ref, o0, k, P)
+        ohd = _oh(d_ref, o0, k, P)
+        # --- recompute forward intermediates --------------------------
+        xmu_j = _gather_bucket(cols, ohj, c9, pieces)
+        xj = xmu_j[:, : 3 * F]
+        rbf = rbf_ref[0, 0, o0:o0 + k]
+        W = jax.lax.dot_general(
+            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        xjW = xj * W
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        dirs = dir_ref[0, 0, o0:o0 + k]
+        # --- per-edge cotangents (expand over dcol) -------------------
+        gmsg = None
+        for piece in gcat_pieces:
+            d = jax.lax.dot_general(
+                ohd, piece, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gmsg = d if gmsg is None else gmsg + d         # [k, 4F]
+        gqe = gmsg[:, :F]
+        gdmuR = None
+        gdmumu = None
+        gdir_parts = []
+        gmuj_parts = []
+        for x in range(3):
+            gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
+            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            t = gmux * dirs[:, x:x + 1]
+            gdmuR = t if gdmuR is None else gdmuR + t
+            t2 = gmux * mujx
+            gdmumu = t2 if gdmumu is None else gdmumu + t2
+            gmuj_parts.append(gmux * dmumu)
+            gdir_parts.append(jnp.sum(gmux * dmuR, axis=-1, keepdims=True))
+        gxjW = jnp.concatenate([gqe, gdmuR, gdmumu], axis=-1)  # [k, 3F]
+        gxj = gxjW * W
+        gW = gxjW * xj
+        grbf_ref[0, 0, o0:o0 + k] = jax.lax.dot_general(
+            gW, FW_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        gdir_ref[0, 0, o0:o0 + k] = jnp.concatenate(gdir_parts, axis=-1)
+        gFW_ref[...] += jax.lax.dot_general(
+            rbf, gW, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        gxmu_e = jnp.concatenate([gxj] + gmuj_parts, axis=-1)  # [k, 6F]
+        acc = None
+        for piece in _split_f32(gxmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d             # [rows, 6F]
+        part_refs[c9][0, 0] = acc
+
+
+def _msg_bwd_call(xmu, rbf_aug, dir_e, FW_aug, qcol, dcol, cots,
+                  P, ks, pieces):
+    g_dq, g_dmu = cots
+    nx, ny, Ktot = qcol.shape
+    A, D6 = xmu.shape
+    F = D6 // 6
+    B1 = rbf_aug.shape[-1]
+    rows = P
+    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    gq5 = g_dq.reshape(nx, ny, P, F)
+    gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
+
+    outs = pl.pallas_call(
+        functools.partial(_msg_bwd_kernel, P=P, F=F, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, B1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, 3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+        ] + _col_view_specs(nx, ny, rows, D6, pieces),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, rows, D6), lambda i, j: (i, j, 0, 0))
+            for _ in range(9)
+        ) + (
+            pl.BlockSpec((1, 1, Ktot, B1), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, Ktot, 3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nx, ny, rows, D6), xmu.dtype)
+            for _ in range(9)
+        ) + (
+            jax.ShapeDtypeStruct((nx, ny, Ktot, B1), xmu.dtype),
+            jax.ShapeDtypeStruct((nx, ny, Ktot, 3), xmu.dtype),
+            jax.ShapeDtypeStruct((B1, 3 * F), xmu.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], rbf_aug, dir_e, FW_aug, gq5, gmu5,
+      *[h for h in halos for _ in range(9)])
+    partials, grbf, gdir, gFW = outs[:9], outs[9], outs[10], outs[11]
+    dxmu = _fold_partials(partials, nx, ny, P, D6)
+    return dxmu.reshape(A, D6), grbf, gdir, gFW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _painn_message_p(xmu, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks):
+    return _msg_fwd_call(xmu, rbf_aug, dir_e, FW_aug, qcol, dcol,
+                         P, ks, _cb.PIECES)
+
+
+def _pm_fwd(xmu, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks):
+    out = _painn_message_p(xmu, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks)
+    return out, (xmu, rbf_aug, dir_e, FW_aug, qcol, dcol)
+
+
+def _pm_bwd(P, ks, res, cots):
+    xmu, rbf_aug, dir_e, FW_aug, qcol, dcol = res
+    dxmu, grbf, gdir, gFW = _msg_bwd_call(
+        xmu, rbf_aug, dir_e, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+    return dxmu, grbf, gdir, gFW, None, None
+
+
+_painn_message_p.defvjp(_pm_fwd, _pm_bwd)
+
+
+def painn_message_columns_pallas(xmu, rbf_aug, dir_e, FW_aug, refs):
+    return _painn_message_p(xmu, rbf_aug, dir_e, FW_aug,
+                            refs.qcol, refs.dcol, refs.P, refs.ksizes)

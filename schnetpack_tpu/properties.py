@@ -71,6 +71,19 @@ nbh_rev: Final[str] = "_nbh_rev"
 #: (presence switches representations to the MXU selection-gather path;
 #: atoms must be cell-sorted and the nbh_* arrays given in sorted space)
 cell_qidx: Final[str] = "_cell_qidx"
+#: column-bucketed source halo-row indices [nx, ny, 9, Kcol] int32
+#: (presence switches representations to the column-kernel fast path)
+cell_qcol: Final[str] = "_cell_qcol"
+#: column-bucketed destination indices z*C + s [nx, ny, 9, Kcol] int32
+cell_dcol: Final[str] = "_cell_dcol"
+#: column-bucketed Cartesian periodic offsets [nx, ny, 9, Kcol, 3]
+cell_coff: Final[str] = "_cell_coff"
+#: column-bucketed edge mask [nx, ny, 9, Kcol]
+cell_emask: Final[str] = "_cell_emask"
+#: static bucket-size carrier: tuple of 9 zero arrays, shapes (ksizes[c9],)
+cell_ksz: Final[str] = "_cell_ksz"
+#: column-layout per-edge displacement vectors [nx, ny, 9, Kcol, 3]
+col_rij: Final[str] = "_col_Rij"
 
 # --- TPU padded-batch layout ------------------------------------------------
 #: 1.0 for real atoms, 0.0 for padding [n_atoms]

@@ -55,15 +55,23 @@ class PaiNNInteraction(nn.Module):
         x = Dense(3 * F, name="ctx_1")(x)
 
         if fused_ctx is not None:
-            # cell-blocked layout: gather + filter + message + K-sum run as
-            # one fused kernel; no [A, K, 3F] tensor is ever materialised
-            from ..ops.painn_fused import painn_message_cellblock
-
-            rbf_aug, FW_aug, cell_qidx = fused_ctx
+            # blocked layouts: gather + filter + message + neighbor-sum run
+            # as one fused kernel; no [A, K, 3F] tensor is ever materialised
             xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
-            dq_sum, dmu_sum = painn_message_cellblock(
-                xmu, rbf_aug, dir_ij, FW_aug, cell_qidx
-            )
+            if fused_ctx[0] == "column":
+                from ..ops.colblock import painn_message_columns
+
+                _, rbf_aug, FW_aug, refs = fused_ctx
+                dq_sum, dmu_sum = painn_message_columns(
+                    xmu, rbf_aug, dir_ij, FW_aug, refs
+                )
+            else:
+                from ..ops.painn_fused import painn_message_cellblock
+
+                _, rbf_aug, FW_aug, cell_qidx = fused_ctx
+                dq_sum, dmu_sum = painn_message_cellblock(
+                    xmu, rbf_aug, dir_ij, FW_aug, cell_qidx
+                )
             q = q + dq_sum
             mu = mu + dmu_sum.reshape(A, 3, F)
         elif nbh_idx is not None:
@@ -143,7 +151,23 @@ class PaiNN(nn.Module):
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
         cell_qidx = inputs.get(properties.cell_qidx)
-        if dense:
+        col_refs = None
+        if properties.cell_qcol in inputs:
+            # column-bucketed layout (the TPU fast path): per-edge geometry
+            # lives in [nx, ny, 9, Kcol] bucket space
+            from ..ops.colblock import ColRefs
+
+            qc = inputs[properties.cell_qcol]
+            ksz = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
+            Pc = inputs[properties.R].shape[0] // (qc.shape[0] * qc.shape[1])
+            col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz)
+            Rij = inputs[properties.col_rij]               # [nx,ny,9,Kcol,3]
+            emask = inputs[properties.cell_emask]
+            d_ij = safe_norm(Rij, axis=-1)
+            dir_ij = Rij / d_ij[..., None]
+            fcut = cutoff_fn(d_ij) * emask
+            nbh_idx = nbh_rev = nbh_mask = idx_i = idx_j = None
+        elif dense:
             Rij = inputs[properties.nbh_rij]               # [A, K, 3]
             nbh_idx = inputs[properties.nbh_idx]
             nbh_rev = inputs.get(properties.nbh_rev)
@@ -166,7 +190,7 @@ class PaiNN(nn.Module):
         filter_net = Dense(n_filt, name="filter_net")
 
         fused_ctx_list = None
-        if cell_qidx is not None:
+        if cell_qidx is not None or col_refs is not None:
             # fused kernel path: the filter Dense is applied *inside* the
             # kernel, so extract its weight matrix (rows = basis functions,
             # plus a bias row driven by an fcut channel) instead of
@@ -183,7 +207,10 @@ class PaiNN(nn.Module):
                 FW_aug = jnp.concatenate(
                     [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
                 )
-                fused_ctx_list.append((rbf_aug, FW_aug, cell_qidx))
+                if col_refs is not None:
+                    fused_ctx_list.append(("column", rbf_aug, FW_aug, col_refs))
+                else:
+                    fused_ctx_list.append(("cell", rbf_aug, FW_aug, cell_qidx))
             filter_list = [None] * self.n_interactions
         # all filters computed once from the radial basis (painn.py:232-236)
         elif self.shared_filters:

@@ -238,14 +238,14 @@ class TestMDParity:
         cell = np.eye(3) * 9.0
 
         results = {}
-        for mode in ("dense", "cellblock"):
+        for mode in ("dense", "cellblock_atom"):
             system, calc = self._build(mode, pos, cell)
             state = calc.init_state(system)
             out = calc.calculate(system, state)
             results[mode] = (np.asarray(out.forces[0]), np.asarray(out.energy))
 
         f_d, e_d = results["dense"]
-        f_c, e_c = results["cellblock"]
+        f_c, e_c = results["cellblock_atom"]
         np.testing.assert_allclose(e_c, e_d, rtol=1e-5, atol=1e-6)
         np.testing.assert_allclose(f_c, f_d, rtol=1e-4, atol=1e-5)
 
@@ -257,7 +257,7 @@ class TestMDParity:
         pos = (np.mgrid[0:3, 0:3, 0:3].reshape(3, -1).T * 3.0 + 1.0
                + rng.uniform(-0.05, 0.05, (27, 3)))
         cell = np.eye(3) * 9.0
-        system, calc = self._build("cellblock", pos, cell)
+        system, calc = self._build("cellblock_atom", pos, cell)
         sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False)
         sim.simulate(20, chunk_size=10)
         assert np.isfinite(np.asarray(sim.system.positions)).all()

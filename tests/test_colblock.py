@@ -1,0 +1,249 @@
+"""Column-bucketed neighbor layout: layout decode, primitive equivalence,
+fused-message grads, and MD parity vs the dense layout."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from schnetpack_tpu import properties as P
+from schnetpack_tpu.ops import cellblock as cb
+from schnetpack_tpu.ops.cellblock import build_column_layout
+from schnetpack_tpu.ops.colblock import (
+    ColRefs,
+    _column_fold_xla,
+    _column_gather_xla,
+    _column_expand_xla,
+    _decode_i,
+    _decode_j,
+    _painn_message_xla,
+)
+
+
+def _random_box(n=120, L=12.0, seed=0):
+    rng = np.random.RandomState(seed)
+    R = rng.uniform(0, L, size=(n, 3))
+    cell = np.eye(3) * L
+    return R, cell
+
+
+def _layout(n=120, L=12.0, seed=0, cutoff=3.5):
+    R, cell = _random_box(n, L, seed)
+    return build_column_layout(R, cutoff, cell, np.ones(3, bool)), R, cell
+
+
+class TestLayout:
+    def test_decode_matches_builder(self):
+        lay, R, cell = _layout()
+        refs = ColRefs.from_layout(lay)
+        j, vj = _decode_j(refs)
+        i, vi = _decode_i(refs)
+        m = lay.emask > 0
+        np.testing.assert_array_equal(np.asarray(vj), m)
+        np.testing.assert_array_equal(np.asarray(vi), m)
+        np.testing.assert_array_equal(np.asarray(j)[m], lay.jcol[m])
+        np.testing.assert_array_equal(np.asarray(i)[m], lay.icol[m])
+
+    def test_edges_match_brute_force(self):
+        from schnetpack_tpu.transform.neighborlist import neighbor_list
+
+        lay, R, cell = _layout(n=80, L=10.0, seed=1, cutoff=3.2)
+        ii, jj, S = neighbor_list(R, 3.2, cell, np.ones(3, bool))
+        m = lay.emask > 0
+        got = sorted(
+            (int(lay.order[a]), int(lay.order[b]), *np.round(o, 4))
+            for a, b, o in zip(lay.icol[m], lay.jcol[m], lay.offcol[m])
+        )
+        off_ref = S @ cell
+        want = sorted(
+            (int(a), int(b), *np.round(o, 4))
+            for a, b, o in zip(ii, jj, off_ref)
+        )
+        assert got == want
+
+    def test_nonperiodic(self):
+        rng = np.random.RandomState(3)
+        R = rng.uniform(0, 6.0, size=(25, 3))
+        lay = build_column_layout(R, 2.5)
+        d = np.linalg.norm(R[:, None] - R[None, :], axis=-1)
+        np.fill_diagonal(d, 1e9)
+        assert int(lay.emask.sum()) == (d < 2.5).sum()
+
+
+class TestPrimitivesXLA:
+    def test_gather_expand_fold(self):
+        lay, R, _ = _layout(seed=2)
+        refs = ColRefs.from_layout(lay)
+        Ap = len(lay.order)
+        rng = np.random.RandomState(5)
+        table = jnp.asarray(rng.randn(Ap, 16), jnp.float32)
+        m = lay.emask > 0
+
+        g = _column_gather_xla(table, refs)
+        np.testing.assert_allclose(
+            np.asarray(g)[m], np.asarray(table)[lay.jcol[m]], rtol=1e-6)
+        assert np.abs(np.asarray(g)[~m]).max() == 0
+
+        e = _column_expand_xla(table, refs)
+        np.testing.assert_allclose(
+            np.asarray(e)[m], np.asarray(table)[lay.icol[m]], rtol=1e-6)
+
+        vals = jnp.asarray(rng.randn(*lay.emask.shape, 16), jnp.float32)
+        f = _column_fold_xla(vals, refs)
+        ref = np.zeros((Ap, 16), np.float32)
+        np.add.at(ref, lay.icol[m], np.asarray(vals)[m])
+        np.testing.assert_allclose(f, ref, rtol=1e-5, atol=1e-5)
+
+
+class TestPrimitivesPallas:
+    """Interpret-mode Pallas kernels vs the XLA reference, incl. VJPs."""
+
+    def setup_method(self, method):
+        self._impl, self._pieces = cb.IMPL, cb.PIECES
+        cb.IMPL, cb.PIECES = "pallas_interpret", 3
+
+    def teardown_method(self, method):
+        cb.IMPL, cb.PIECES = self._impl, self._pieces
+
+    def test_gather_fwd_bwd(self):
+        from schnetpack_tpu.ops.colblock_pallas import column_gather_pallas
+
+        lay, R, _ = _layout(seed=4, n=100, L=10.0, cutoff=3.4)
+        refs = ColRefs.from_layout(lay)
+        Ap = len(lay.order)
+        rng = np.random.RandomState(0)
+        table = jnp.asarray(rng.randn(Ap, 128), jnp.float32)
+        w = jnp.asarray(rng.randn(*lay.emask.shape, 128), jnp.float32)
+
+        out = column_gather_pallas(table, refs)
+        ref = _column_gather_xla(table, refs)
+        np.testing.assert_allclose(out, ref, rtol=1e-6, atol=1e-6)
+
+        g1 = jax.grad(lambda t: jnp.sum(column_gather_pallas(t, refs) * w))(table)
+        g2 = jax.grad(lambda t: jnp.sum(_column_gather_xla(t, refs) * w))(table)
+        np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
+
+    def test_expand_fold_fwd_bwd(self):
+        from schnetpack_tpu.ops.colblock_pallas import (
+            column_expand_pallas, column_fold_pallas,
+        )
+
+        lay, R, _ = _layout(seed=6, n=100, L=10.0, cutoff=3.4)
+        refs = ColRefs.from_layout(lay)
+        Ap = len(lay.order)
+        rng = np.random.RandomState(1)
+        table = jnp.asarray(rng.randn(Ap, 128), jnp.float32)
+        vals = jnp.asarray(rng.randn(*lay.emask.shape, 128), jnp.float32)
+        w = jnp.asarray(rng.randn(*lay.emask.shape, 128), jnp.float32)
+
+        out = column_expand_pallas(table, refs)
+        np.testing.assert_allclose(
+            out, _column_expand_xla(table, refs), rtol=1e-6, atol=1e-6)
+        f = column_fold_pallas(vals, refs)
+        np.testing.assert_allclose(
+            f, _column_fold_xla(vals, refs), rtol=1e-5, atol=1e-5)
+
+        g1 = jax.grad(lambda t: jnp.sum(column_expand_pallas(t, refs) * w))(table)
+        g2 = jax.grad(lambda t: jnp.sum(_column_expand_xla(t, refs) * w))(table)
+        np.testing.assert_allclose(g1, g2, rtol=1e-5, atol=1e-5)
+
+    def test_fused_message_and_grads(self):
+        from schnetpack_tpu.ops.colblock_pallas import (
+            painn_message_columns_pallas,
+        )
+
+        lay, R, _ = _layout(seed=8, n=90, L=10.0, cutoff=3.4)
+        refs = ColRefs.from_layout(lay)
+        Ap = len(lay.order)
+        F = 32
+        rng = np.random.RandomState(9)
+        xmu = jnp.asarray(rng.randn(Ap, 6 * F), jnp.float32)
+        rbf = jnp.asarray(rng.randn(*lay.emask.shape, 9), jnp.float32)
+        rbf = rbf * jnp.asarray(lay.emask)[..., None]
+        dirs = jnp.asarray(rng.randn(*lay.emask.shape, 3), jnp.float32)
+        FW = jnp.asarray(rng.randn(9, 3 * F) * 0.3, jnp.float32)
+
+        def loss(args, fused):
+            x, rb, dr, fw = args
+            if fused:
+                dq, dmu = painn_message_columns_pallas(x, rb, dr, fw, refs)
+            else:
+                dq, dmu = _painn_message_xla(x, rb, dr, fw, refs)
+            return jnp.sum(jnp.sin(dq)) + jnp.sum(jnp.cos(dmu) * 0.5)
+
+        args = (xmu, rbf, dirs, FW)
+        v1, g1 = jax.value_and_grad(lambda a: loss(a, True))(args)
+        v2, g2 = jax.value_and_grad(lambda a: loss(a, False))(args)
+        np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
+        for n, a, b in zip(["xmu", "rbf", "dir", "FW"], g1, g2):
+            np.testing.assert_allclose(
+                a, b, rtol=2e-4, atol=2e-4, err_msg=f"grad {n}")
+
+
+class TestMDParity:
+    def _build(self, neighbor_list, pos, cell):
+        from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+        from schnetpack_tpu.data.loader import PaddingSpec, collate
+        from schnetpack_tpu.md import MaxwellBoltzmannInit, load_molecules
+        from schnetpack_tpu.md.calculators import SchNetPackCalculator
+        from schnetpack_tpu.model import NeuralNetworkPotential
+        from schnetpack_tpu.representation import PaiNN
+        from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+        cutoff = 3.0
+        n = len(pos)
+        mol = {
+            P.Z: np.full(n, 18, np.int64),
+            P.R: pos,
+            P.cell: cell,
+            P.pbc: np.ones(3, bool) if cell is not None else np.zeros(3, bool),
+        }
+        pot = NeuralNetworkPotential(
+            representation=PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                                 cutoff=cutoff),
+            input_modules=[PairwiseDistances()],
+            output_modules=[Atomwise(output_key=P.energy, n_out=1, n_layers=2),
+                            Forces()],
+        )
+        probe = dict(mol)
+        if cell is None:
+            probe[P.cell] = np.zeros((3, 3))
+        probe = NeighborListTransform(cutoff)(probe)
+        params = pot.init(jax.random.PRNGKey(0),
+                          collate([probe], PaddingSpec(n + 8, 4096, 2)))
+        system = load_molecules([{k: v for k, v in mol.items()
+                                  if not (k == P.cell and v is None)}])
+        system = MaxwellBoltzmannInit(40.0).initialize_system(
+            system, jax.random.PRNGKey(1))
+        calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                    cutoff_shell=0.4,
+                                    neighbor_list=neighbor_list)
+        return system, calc
+
+    def test_forces_match_dense(self):
+        rng = np.random.RandomState(11)
+        pos = rng.uniform(0, 9.0, size=(90, 3))
+        cell = np.eye(3) * 9.0
+
+        results = {}
+        for mode in ("dense", "cellblock"):
+            system, calc = self._build(mode, pos, cell)
+            state = calc.init_state(system)
+            out = calc.calculate(system, state)
+            results[mode] = (np.asarray(out.forces[0]), np.asarray(out.energy))
+
+        f_d, e_d = results["dense"]
+        f_c, e_c = results["cellblock"]
+        np.testing.assert_allclose(e_c, e_d, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(f_c, f_d, rtol=1e-4, atol=1e-5)
+
+    def test_nve_runs(self):
+        from schnetpack_tpu.md import Simulator, VelocityVerlet
+
+        rng = np.random.RandomState(13)
+        pos = (np.mgrid[0:3, 0:3, 0:3].reshape(3, -1).T * 3.0 + 1.0
+               + rng.uniform(-0.05, 0.05, (27, 3)))
+        cell = np.eye(3) * 9.0
+        system, calc = self._build("cellblock", pos, cell)
+        sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False)
+        sim.simulate(20, chunk_size=10)
+        assert np.isfinite(np.asarray(sim.system.positions)).all()

@@ -34,7 +34,13 @@ class PairwiseDistances(nn.Module):
             qc = inputs[properties.cell_qcol]
             ksizes = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
             P = R.shape[0] // (qc.shape[0] * qc.shape[1])
-            refs = ColRefs(qc, inputs[properties.cell_dcol], P, ksizes)
+            shard = None
+            if properties.cell_shard in inputs:
+                from ..ops.colblock_shard import COLS_AXIS
+
+                shard = COLS_AXIS
+            refs = ColRefs(qc, inputs[properties.cell_dcol], P, ksizes,
+                           shard)
             Rj = column_gather(R, refs)
             Ri = column_expand(R, refs)
             emask = inputs[properties.cell_emask][..., None]

@@ -157,6 +157,16 @@ class NeuralNetworkPotential:
                 ins[properties.nuclear_magnetic_moments] = I_
             out = self.core.apply(params, ins)
             E = jnp.sum(out[energy_key] * mol_mask) if energy_key in out else 0.0
+            if properties.cell_shard in inputs:
+                # slab-sharded columns (shard_map with check_vma=False):
+                # differentiate the GLOBAL energy so cross-shard force terms
+                # flow back through the halo-exchange ppermutes.  Every
+                # device seeds its own grad under manual mode, so the psum
+                # is normalised by the axis size (the n seeds then sum to
+                # exactly one global cotangent).
+                from ..ops.colblock_shard import COLS_AXIS
+
+                E = jax.lax.psum(E, COLS_AXIS) / jax.lax.axis_size(COLS_AXIS)
             return E, out
 
         props = set()

@@ -54,12 +54,16 @@ class ColRefs(NamedTuple):
     dcol: jax.Array   # [nx, ny, Ktot] int32 in-column destination row (-1 pad)
     P: int            # per-column atom capacity (multiple of 8)
     ksizes: tuple     # 9 static bucket capacities (multiples of 8)
+    #: shard_map axis name when columns are slab-sharded along x; ops then
+    #: exchange x-boundary column planes via ppermute (halo exchange) and
+    #: qcol/dcol/tables are the LOCAL slabs [nx_loc, ny, ...]
+    shard_axis: object = None
 
     @classmethod
-    def from_layout(cls, lay) -> "ColRefs":
+    def from_layout(cls, lay, shard_axis=None) -> "ColRefs":
         nx, ny, P, ksizes = lay.dims
         return cls(jnp.asarray(lay.qcol), jnp.asarray(lay.dcol), P,
-                   tuple(ksizes))
+                   tuple(ksizes), shard_axis)
 
     @property
     def koffs(self):
@@ -105,7 +109,11 @@ def _decode_i(refs: ColRefs):
 
 # ---------------------------------------------------------------- gather
 def column_gather(table: jax.Array, refs: ColRefs) -> jax.Array:
-    """Per-edge source rows [nx, ny, 9, Kcol, D] (zeros at padded edges)."""
+    """Per-edge source rows [nx, ny, Ktot, D] (zeros at padded edges)."""
+    if refs.shard_axis is not None:
+        from .colblock_shard import column_gather_sharded
+
+        return column_gather_sharded(table, refs)
     if _cb._impl().startswith("pallas"):
         from .colblock_pallas import column_gather_pallas
 
@@ -171,6 +179,10 @@ def painn_message_columns(xmu, rbf_aug, dir_e, FW_aug, refs: ColRefs):
     Returns:
         dq [A', F], dmu [A', 3F] (sums over each atom's edges).
     """
+    if refs.shard_axis is not None:
+        from .colblock_shard import painn_message_columns_sharded
+
+        return painn_message_columns_sharded(xmu, rbf_aug, dir_e, FW_aug, refs)
     if _cb._impl().startswith("pallas"):
         from .colblock_pallas import painn_message_columns_pallas
 

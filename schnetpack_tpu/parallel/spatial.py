@@ -1,11 +1,16 @@
-"""Atom-sharded (spatial) parallelism for large systems.
+"""GSPMD atom sharding — the simple fallback decomposition.
 
-The reference delegates spatial decomposition to LAMMPS MPI
-(``pair_schnetpack.cpp``, SURVEY §2.12).  The TPU-native equivalent shards
-the *atom dimension* of the padded batch over a mesh axis and lets XLA's
-SPMD partitioner place the collectives: per interaction block the feature
-table is all-gathered over ICI (a few MB), while the gather/reduce work —
-the measured bottleneck (PERF.md) — splits across chips.
+Shards the *atom dimension* of a padded dense-layout batch over a mesh
+axis and lets XLA's SPMD partitioner place the collectives: per
+interaction block the feature table is all-gathered over ICI.  Per-device
+memory stays O(total atoms), so this only suits mid-size systems and
+sharded training batches.
+
+For large systems use the real spatial decomposition instead:
+``parallel/columns.py`` (slab-sharded column layout, ppermute halo
+exchange, O(A/n + halo) per-device traffic) — the TPU analog of the
+reference's LAMMPS MPI local+ghost scheme (``pair_schnetpack.cpp``,
+SURVEY §2.12).
 
 Usage:
     mesh = make_mesh(8, axis_names=("atoms",))

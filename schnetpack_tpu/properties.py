@@ -82,6 +82,9 @@ cell_coff: Final[str] = "_cell_coff"
 cell_emask: Final[str] = "_cell_emask"
 #: static bucket-size carrier: tuple of 9 zero arrays, shapes (ksizes[c9],)
 cell_ksz: Final[str] = "_cell_ksz"
+#: marker (any array): inputs are LOCAL slabs of a shard_map run over the
+#: "cols" mesh axis; column ops then halo-exchange x-boundary planes
+cell_shard: Final[str] = "_cell_shard"
 #: column-layout per-edge displacement vectors [nx, ny, 9, Kcol, 3]
 col_rij: Final[str] = "_col_Rij"
 

@@ -160,7 +160,13 @@ class PaiNN(nn.Module):
             qc = inputs[properties.cell_qcol]
             ksz = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
             Pc = inputs[properties.R].shape[0] // (qc.shape[0] * qc.shape[1])
-            col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz)
+            shard = None
+            if properties.cell_shard in inputs:
+                from ..ops.colblock_shard import COLS_AXIS
+
+                shard = COLS_AXIS
+            col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz,
+                               shard)
             Rij = inputs[properties.col_rij]               # [nx,ny,9,Kcol,3]
             emask = inputs[properties.cell_emask]
             d_ij = safe_norm(Rij, axis=-1)

@@ -1,0 +1,187 @@
+"""Slab-sharded column kernels on an 8-device CPU mesh.
+
+VERDICT round-1 item #2: real atom-sharded multi-chip path — each shard
+owns a contiguous slab of xy-columns and exchanges only boundary column
+planes via ppermute.  Checks:
+
+* sharded forces == replicated single-run forces (f32 resolution);
+* global energy (psum) == replicated energy;
+* the compiled HLO moves data with collective-permute only — no
+  all-gather of the feature table (per-device traffic O(A/n + halo)).
+"""
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as Pspec
+
+from schnetpack_tpu import properties as P
+from schnetpack_tpu.ops import cellblock as cb
+from schnetpack_tpu.ops.cellblock import build_column_layout
+from schnetpack_tpu.ops.colblock_shard import COLS_AXIS
+
+
+def _system(n=2000, L=48.0, cutoff=5.5, seed=0):
+    rng = np.random.RandomState(seed)
+    R = rng.uniform(0, L, size=(n, 3))
+    Z = rng.randint(1, 9, n).astype(np.int64)
+    cell = np.eye(3) * L
+    return R, Z, cell
+
+
+def _model(cutoff):
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                             cutoff=cutoff),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy, n_out=1, n_layers=2),
+                        Forces()],
+    )
+    rng = np.random.RandomState(1)
+    probe = {
+        P.Z: np.full(12, 6, np.int64), P.R: rng.rand(12, 3) * 4,
+        P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool),
+    }
+    probe = NeighborListTransform(cutoff)(probe)
+    params = pot.init(jax.random.PRNGKey(0),
+                      collate([probe], PaddingSpec(16, 512, 2)))
+    return pot, params
+
+
+def _column_inputs(lay, R, Z, sharded):
+    """Model inputs in sorted column space (full arrays)."""
+    Ap = len(lay.order)
+    order = lay.order
+    dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    inputs = {
+        P.R: jnp.asarray(R[order] * (lay.slot_mask[:, None] > 0), dt),
+        P.Z: jnp.asarray(Z[order] * (lay.slot_mask > 0).astype(np.int64)),
+        P.idx_m: jnp.zeros(Ap, jnp.int32),
+        P.atom_mask: jnp.asarray(lay.slot_mask, dt),
+        P.n_atoms: jnp.asarray([Ap], jnp.int32),
+        P.cell_qcol: jnp.asarray(lay.qcol),
+        P.cell_dcol: jnp.asarray(lay.dcol),
+        P.cell_coff: jnp.asarray(lay.offcol, dt),
+        P.cell_emask: jnp.asarray(lay.emask, dt),
+        P.cell_ksz: tuple(jnp.zeros((k,), jnp.int8) for k in lay.ksizes),
+        # empty flat pair list (the model tolerates zero real pairs)
+        P.idx_i: jnp.zeros(1, jnp.int32),
+        P.idx_j: jnp.zeros(1, jnp.int32),
+        P.offsets: jnp.full((1, 3), 1e3, dt),
+        P.pair_mask: jnp.zeros(1, dt),
+    }
+    if sharded:
+        inputs[P.cell_shard] = jnp.zeros(1, jnp.int8)
+    return inputs
+
+
+def _shard_fn(pot, params, lay, full_inputs, n_dev):
+    """Force/energy eval under shard_map over x-slabs of columns."""
+    nx, ny, Pcap, _ = lay.dims
+    Ap = len(lay.order)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (COLS_AXIS,))
+
+    col_sharded = {P.cell_qcol, P.cell_dcol, P.cell_coff, P.cell_emask}
+
+    def specs_of(k, v):
+        if k in col_sharded:
+            return Pspec(COLS_AXIS)
+        if k in (P.R, P.Z, P.idx_m, P.atom_mask):
+            return Pspec(COLS_AXIS)          # [Ap] = [nx*ny*P] row-sharded
+        return Pspec()
+
+    in_specs = {k: (specs_of(k, v) if not isinstance(v, tuple)
+                    else tuple(Pspec() for _ in v))
+                for k, v in full_inputs.items()}
+
+    def local_eval(inputs):
+        out = pot.apply(params, inputs, do_postprocessing=False)
+        return out[P.energy], out[P.forces]
+
+    from jax import shard_map
+
+    f = shard_map(
+        local_eval, mesh=mesh,
+        in_specs=(in_specs,),
+        out_specs=(Pspec(COLS_AXIS), Pspec(COLS_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(f), mesh
+
+
+@pytest.mark.parametrize("impl", ["xla"])
+def test_sharded_forces_match_replicated(impl):
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    old_impl = cb.IMPL
+    cb.IMPL = impl
+    try:
+        cutoff = 5.0
+        R, Z, cell = _system()
+        lay = build_column_layout(R, cutoff, cell, np.ones(3, bool),
+                                  dims=(8, 8, 1))
+        pot, params = _model(cutoff)
+
+        # replicated reference
+        ref_in = _column_inputs(lay, R, Z, sharded=False)
+        out = pot.apply(params, dict(ref_in), do_postprocessing=False)
+        e_ref = np.asarray(out[P.energy]).sum()
+        f_ref = np.asarray(out[P.forces])
+
+        # sharded run
+        sh_in = _column_inputs(lay, R, Z, sharded=True)
+        f, mesh = _shard_fn(pot, params, lay, sh_in, 8)
+        with mesh:
+            e_sh, f_sh = f(sh_in)
+        # per-device energies are local partials; their sum is global
+        np.testing.assert_allclose(np.asarray(e_sh).sum(), e_ref, rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(f_sh), f_ref,
+                                   rtol=1e-4, atol=1e-5)
+
+        # traffic shape: collective permutes only, no feature all-gather
+        hlo = f.lower(sh_in).compile().as_text()
+        assert "collective-permute" in hlo
+        for m in re.finditer(r"all-gather[^=]*=\s*(\S+)\s", hlo):
+            shape = m.group(1)
+            nums = [int(x) for x in re.findall(r"\d+", shape)]
+            assert np.prod(nums or [1]) < 10_000, (
+                f"large all-gather in sharded HLO: {shape}")
+    finally:
+        cb.IMPL = old_impl
+
+
+def test_sharded_kernels_interpret_small():
+    """The Pallas kernel path (interpret mode) under shard_map."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    old_impl, old_pieces = cb.IMPL, cb.PIECES
+    cb.IMPL, cb.PIECES = "pallas_interpret", 3
+    try:
+        cutoff = 3.0
+        R, Z, cell = _system(n=400, L=24.0, cutoff=3.0, seed=3)
+        lay = build_column_layout(R, cutoff, cell, np.ones(3, bool),
+                                  dims=(8, 8, 1))
+        pot, params = _model(cutoff)
+
+        cb.IMPL = "xla"
+        ref_in = _column_inputs(lay, R, Z, sharded=False)
+        out = pot.apply(params, dict(ref_in), do_postprocessing=False)
+        f_ref = np.asarray(out[P.forces])
+
+        cb.IMPL = "pallas_interpret"
+        sh_in = _column_inputs(lay, R, Z, sharded=True)
+        f, mesh = _shard_fn(pot, params, lay, sh_in, 8)
+        with mesh:
+            e_sh, f_sh = f(sh_in)
+        np.testing.assert_allclose(np.asarray(f_sh), f_ref,
+                                   rtol=2e-4, atol=2e-5)
+    finally:
+        cb.IMPL, cb.PIECES = old_impl, old_pieces

@@ -16,7 +16,7 @@ reparameterizes positions/offsets/cell by a symmetric per-molecule strain
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -62,18 +62,29 @@ class Strain(nn.Module):
 class StaticExternalFields(nn.Module):
     """Injects zero-valued external field tensors required by requested
     response properties (parity: ``atomistic/external_fields.py:12-59``).
-    The response engine replaces them with differentiable primals."""
+    The response engine replaces them with differentiable primals.
+
+    Either name the fields directly (``required_fields``) or, like the
+    reference, pass ``response_properties`` and let the required fields be
+    derived from :data:`properties.required_external_fields`.
+    """
 
     required_fields: Sequence[str] = ()
+    response_properties: Optional[Sequence[str]] = None
 
     @nn.compact
     def __call__(self, inputs: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
         M = inputs[properties.n_atoms].shape[0]
         dtype = inputs[properties.R].dtype
-        for field in self.required_fields:
+        fields = list(self.required_fields)
+        for p in self.response_properties or ():
+            for f in properties.required_external_fields.get(p, []):
+                if f not in fields:
+                    fields.append(f)
+        for field in fields:
             if field not in inputs:
                 inputs[field] = jnp.zeros((M, 3), dtype=dtype)
-        if properties.magnetic_field in self.required_fields:
+        if properties.magnetic_field in fields:
             A = inputs[properties.Z].shape[0]
             if properties.nuclear_magnetic_moments not in inputs:
                 inputs[properties.nuclear_magnetic_moments] = jnp.zeros((A, 3), dtype=dtype)

@@ -87,12 +87,17 @@ def train(config: Dict) -> Dict[str, float]:
     trainer_cfg.pop("_target_", None)
     cb = config.get("callbacks", {}) or {}
     monitor = (cb.get("checkpoint") or {}).get("monitor", "val_loss")
+    from .train.loggers import build_logger
+
     loggers = []
-    for name in cb.get("loggers", ["csv"]):
-        if name == "csv":
-            loggers.append(CSVLogger(os.path.join(run_dir, "metrics.csv")))
-        elif name == "tensorboard":
-            loggers.append(TensorBoardLogger(os.path.join(run_dir, "tb")))
+    logger_cfg = config.get("logger")
+    if isinstance(logger_cfg, dict) and logger_cfg:
+        # logger config group (configs/logger/): {name: kwargs}
+        for name, lcfg in logger_cfg.items():
+            loggers.append(build_logger(name, run_dir, lcfg))
+    else:
+        for name in cb.get("loggers", ["csv"]):
+            loggers.append(build_logger(name, run_dir))
     trainer = Trainer(
         log_dir=run_dir,
         scheduler=scheduler,

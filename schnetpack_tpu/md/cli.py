@@ -97,6 +97,17 @@ def simulate(config: Dict):
         n_replicas=n_replicas,
         position_unit_input=sys_cfg.get("position_unit_input", "Ang"),
     )
+    # top-level config groups (spkmd thermostat=piglet barostat=nhc_iso
+    # initializer=uniform ...) override the dynamics/system presets
+    if config.get("thermostat"):
+        dyn = dict(dyn)
+        dyn["thermostat"] = config["thermostat"]
+    if config.get("barostat"):
+        dyn = dict(dyn)
+        dyn["barostat"] = config["barostat"]
+    if config.get("initializer"):
+        sys_cfg = dict(sys_cfg)
+        sys_cfg["initializer"] = config["initializer"]
     if sys_cfg.get("initializer"):
         init = instantiate(sys_cfg["initializer"])
         system = init.initialize_system(

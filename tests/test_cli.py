@@ -118,3 +118,46 @@ class TestDataParallelCLI:
         import numpy as np
 
         assert np.isfinite(metrics["test_loss"])
+
+
+class TestConfigBreadth:
+    """Round-2 additions: rmd17/response experiments + logger group."""
+
+    def test_rmd17_experiment_composes(self):
+        cfg = default_composer().compose("train", ["experiment=rmd17"])
+        assert cfg["model"]["representation"]["_target_"].endswith("PaiNN")
+        assert cfg["data"]["_target_"].endswith("rMD17")
+        pot = instantiate(cfg["model"])
+        assert pot.response_specs  # Forces spec present
+
+    def test_response_experiment_composes(self):
+        cfg = default_composer().compose("train", ["experiment=response"])
+        assert cfg["model"]["representation"]["_target_"].endswith(
+            "FieldSchNet")
+        names = [o["name"] for o in cfg["task"]["outputs"]]
+        assert {"dipole_moment", "polarizability", "shielding_1"} <= set(names)
+        pot = instantiate(cfg["model"])
+        props = set()
+        for s in pot.response_specs:
+            props.update(s.response_properties)
+        assert "polarizability" in props
+
+    def test_logger_group_overrides(self):
+        cfg = default_composer().compose("train", [])
+        assert set(cfg["logger"]) == {"csv", "tensorboard"}
+        cfg = default_composer().compose("train", ["logger=aim"])
+        assert set(cfg["logger"]) == {"aim"}
+
+    def test_wandb_aim_fallback(self, tmp_path):
+        from schnetpack_tpu.train.loggers import build_logger
+
+        for name in ("wandb", "aim"):
+            lg = build_logger(name, str(tmp_path))
+            lg.log({"loss": 1.0}, step=0)
+            lg.log({"loss": 0.5}, step=1)
+        import json
+        import os
+        files = [f for f in os.listdir(tmp_path) if f.endswith(".jsonl")]
+        assert len(files) == 2
+        rows = [json.loads(l) for l in open(tmp_path / files[0])]
+        assert rows[1]["loss"] == 0.5

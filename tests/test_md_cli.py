@@ -88,3 +88,37 @@ def test_spkmd_rpmd_dynamics(tmp_path):
         pos = f["molecules/positions"][:]
         assert pos.shape == (20, 4, 2, 3)
         assert np.isfinite(pos).all()
+
+
+def test_thermostat_group_override(tmp_path):
+    """spkmd thermostat=<name> (config group) replaces the dynamics preset
+    (parity: reference md_configs/dynamics/thermostat/*.yaml)."""
+    xyz = tmp_path / "ar.xyz"
+    rng = np.random.RandomState(1)
+    pos = np.array(
+        [[i * 3.9, j * 3.9, k * 3.9]
+         for i in range(2) for j in range(2) for k in range(2)]
+    ) + rng.rand(8, 3) * 0.05
+    lines = ["8", "argon"] + [
+        f"Ar {p[0]:.6f} {p[1]:.6f} {p[2]:.6f}" for p in pos
+    ]
+    xyz.write_text("\n".join(lines) + "\n")
+    sim_dir = tmp_path / "sim"
+    spkmd_main([
+        f"system.molecule_file={xyz}",
+        f"simulation_dir={sim_dir}",
+        "calculator=lj",
+        "dynamics=nvt",
+        "thermostat=langevin",
+        "thermostat.temperature_bath=40.0",
+        "thermostat.time_constant=20.0",
+        "initializer=uniform",
+        "initializer.temperature=40.0",
+        "dynamics.n_steps=20",
+        "dynamics.chunk_size=10",
+    ])
+    assert os.path.exists(os.path.join(sim_dir, "simulation.hdf5"))
+    import yaml
+
+    cfg = yaml.safe_load(open(os.path.join(sim_dir, "config.yaml")))
+    assert cfg["thermostat"]["_target_"].endswith("LangevinThermostat")

@@ -144,26 +144,41 @@ class EnergyEwald(nn.Module):
         ke = KE_ASE * self.energy_unit
 
         # ---- real space -------------------------------------------------
-        if self.use_long_range and properties.idx_i_lr in inputs:
-            idx_i = inputs[properties.idx_i_lr]
-            Rij = inputs[properties.Rij_lr]
-            idx_j = inputs[properties.idx_j_lr]
-            mask = inputs.get(properties.pair_mask_lr, jnp.ones(idx_i.shape[0], dtype))
+        if properties.nbh_rij in inputs and properties.idx_i_lr not in inputs:
+            # dense MD layout: [A, K] neighbor matrix (the flat pair list
+            # carries no real pairs in this mode)
+            Rij_d = inputs[properties.nbh_rij]
+            nbh = inputs[properties.nbh_idx]
+            nmask = inputs[properties.nbh_mask]
+            d = safe_norm(Rij_d, axis=-1)
+            qj = jnp.take(q, nbh, axis=0)
+            screen = jax.lax.erfc(self.alpha * d) / jnp.maximum(d, 1e-10)
+            if self.screening_cutoff is not None:
+                screen = jnp.where(d < self.screening_cutoff, screen, 0.0)
+            e_real_atom = 0.5 * ke * q * jnp.sum(qj * screen * nmask, axis=1)
+            e_real = segment_sum(e_real_atom * atom_mask, idx_m, M)
         else:
-            idx_i = inputs[properties.idx_i]
-            idx_j = inputs[properties.idx_j]
-            Rij = inputs[properties.Rij]
-            mask = inputs[properties.pair_mask]
-        d = safe_norm(Rij, axis=-1)
-        qi = jnp.take(q, idx_i, axis=0)
-        qj = jnp.take(q, idx_j, axis=0)
-        screen = jax.lax.erfc(self.alpha * d) / jnp.maximum(d, 1e-10)
-        if self.screening_cutoff is not None:
-            screen = jnp.where(d < self.screening_cutoff, screen, 0.0)
-        e_real_pair = 0.5 * ke * qi * qj * screen * mask
-        e_real = segment_sum(
-            segment_sum(e_real_pair, idx_i, A), idx_m, M
-        )
+            if self.use_long_range and properties.idx_i_lr in inputs:
+                idx_i = inputs[properties.idx_i_lr]
+                Rij = inputs[properties.Rij_lr]
+                idx_j = inputs[properties.idx_j_lr]
+                mask = inputs.get(properties.pair_mask_lr,
+                                  jnp.ones(idx_i.shape[0], dtype))
+            else:
+                idx_i = inputs[properties.idx_i]
+                idx_j = inputs[properties.idx_j]
+                Rij = inputs[properties.Rij]
+                mask = inputs[properties.pair_mask]
+            d = safe_norm(Rij, axis=-1)
+            qi = jnp.take(q, idx_i, axis=0)
+            qj = jnp.take(q, idx_j, axis=0)
+            screen = jax.lax.erfc(self.alpha * d) / jnp.maximum(d, 1e-10)
+            if self.screening_cutoff is not None:
+                screen = jnp.where(d < self.screening_cutoff, screen, 0.0)
+            e_real_pair = 0.5 * ke * qi * qj * screen * mask
+            e_real = segment_sum(
+                segment_sum(e_real_pair, idx_i, A), idx_m, M
+            )
 
         # ---- reciprocal space ------------------------------------------
         kgrid = jnp.asarray(build_kgrid(self.k_max), dtype=dtype)  # [K, 3]

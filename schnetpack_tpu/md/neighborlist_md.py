@@ -55,26 +55,33 @@ class DenseNeighborListMD:
         from ..transform.neighborlist import cell_list_neighbor_list
 
         R_np = np.asarray(jax.device_get(system.positions))
-        if system.n_replicas != 1:
-            raise NotImplementedError(
-                "DenseNeighborListMD currently supports n_replicas == 1; "
-                "use AllPairsNeighborListMD for RPMD"
-            )
+        n_rep = system.n_replicas
         cells = np.asarray(jax.device_get(system.cells))[0]
         pbc = np.asarray(jax.device_get(system.pbc))
         idx_m = np.asarray(jax.device_get(system.idx_m))
         A = R_np.shape[1]
 
-        # per-molecule neighbor lists merged into one [A, K] matrix
+        # per-molecule neighbor lists merged into one [A, K] matrix; for
+        # ring polymers the topology is the UNION over all beads (the
+        # reference rebuilds per replica and merges,
+        # md/neighborlist_md.py:55-98) — one shared [A, K] matrix then
+        # serves every bead with per-bead displacements computed on device
         ii_all, jj_all, off_all = [], [], []
         for m in np.unique(idx_m):
             sel = np.nonzero(idx_m == m)[0]
             sub_pbc = pbc[m]
             sub_cell = cells[m] if sub_pbc.any() else None
-            i, j, S = cell_list_neighbor_list(
-                R_np[0, sel], self.cutoff + self.skin,
-                sub_cell, sub_pbc if sub_pbc.any() else None,
-            )
+            rows = []
+            for r in range(n_rep):
+                i, j, S = cell_list_neighbor_list(
+                    R_np[r, sel], self.cutoff + self.skin,
+                    sub_cell, sub_pbc if sub_pbc.any() else None,
+                )
+                rows.append(np.column_stack([i, j, S]).astype(np.int64))
+            rows = np.concatenate(rows) if rows else np.zeros((0, 5), np.int64)
+            if n_rep > 1 and len(rows):
+                rows = np.unique(rows, axis=0)
+            i, j, S = rows[:, 0], rows[:, 1], rows[:, 2:5]
             ii_all.append(sel[i])
             jj_all.append(sel[j])
             off = S.astype(np.float64) @ sub_cell if sub_cell is not None else np.zeros((len(i), 3))
@@ -108,6 +115,15 @@ class DenseNeighborListMD:
         rev = build_reverse_map(ii, jj, off, slots, A, K)
 
         dtype = system.positions.dtype
+        if n_rep > 1:
+            # shared topology, replica-shifted indices into the flattened
+            # [n_rep * A] atom table the calculator builds
+            shift = np.repeat(np.arange(n_rep) * A, A)[:, None]
+            nbh = np.tile(nbh, (n_rep, 1)) + shift.astype(np.int32)
+            offs = np.tile(offs, (n_rep, 1, 1))
+            mask = np.tile(mask, (n_rep, 1))
+            rshift = np.repeat(np.arange(n_rep) * (A * K), A)[:, None]
+            rev = np.tile(rev, (n_rep, 1)) + rshift.astype(rev.dtype)
         self._nbh = jnp.asarray(nbh)
         self._offsets = jnp.asarray(offs, dtype)
         self._mask = jnp.asarray(mask, dtype)

@@ -208,3 +208,17 @@ def _painn_message_xla(xmu, rbf_aug, dir_e, FW_aug, refs):
     msg = jnp.concatenate([dqe] + msg_mu, axis=-1)  # [nx,ny,Ktot,4F]
     folded = _column_fold_xla(msg, refs)            # [A', 4F]
     return folded[:, :F], folded[:, F:]
+
+
+def painn_message_columns_fm(xmu, geo, FW_aug, refs: ColRefs):
+    """Feature-major fused message: geo [nx, ny, B1+3, Ktot] packs the
+    augmented radial basis (B1 = n_rbf+1 channels) and the unit direction
+    vectors (3 channels) with the edge axis minor — no (8,128) lane-tile
+    padding in HBM, one tensor through the kernels instead of two."""
+    if _cb._impl().startswith("pallas"):
+        from .colblock_pallas import painn_message_columns_fm_pallas
+
+        return painn_message_columns_fm_pallas(xmu, geo, FW_aug, refs)
+    B1 = geo.shape[2] - 3
+    g = jnp.moveaxis(geo, 2, 3)
+    return _painn_message_xla(xmu, g[..., :B1], g[..., B1:], FW_aug, refs)

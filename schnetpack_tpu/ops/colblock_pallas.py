@@ -515,3 +515,227 @@ _painn_message_p.defvjp(_pm_fwd, _pm_bwd)
 def painn_message_columns_pallas(xmu, rbf_aug, dir_e, FW_aug, refs):
     return _painn_message_p(xmu, rbf_aug, dir_e, FW_aug,
                             refs.qcol, refs.dcol, refs.P, refs.ksizes)
+
+
+# ------------------------------- feature-major fused PaiNN message
+# The per-edge geometry (rbf_aug 21ch + dir 3ch) arrives as ONE
+# feature-major tensor geo [nx, ny, 24, Ktot]: with the edge axis minor
+# there is no (8,128)-tile lane padding (the edge-major [.., Ktot, 21] and
+# [.., Ktot, 3] layouts inflate 6x/43x in HBM).  The kernel transposes the
+# resident [24, Ktot] block once per grid step (VPU shuffle, ~200 KB) and
+# slices buckets along sublanes.
+
+def _msg_fm_fwd_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
+                       P, F, B1, ks, pieces):
+    cols = args[:9 * pieces]
+    dq_ref, dmu_ref = args[9 * pieces:]
+    offs = _koffs(ks)
+    geo = geo_ref[0, 0].T                              # [Ktot, B1+3]
+    acc = None
+    for c9 in range(9):
+        o0, k = offs[c9], ks[c9]
+        ohj = _oh(q_ref, o0, k, P)
+        xmu_j = _gather_bucket(cols, ohj, c9, pieces)  # [k, 6F]
+        xj = xmu_j[:, : 3 * F]
+        rbf = geo[o0:o0 + k, :B1]
+        dirs = geo[o0:o0 + k, B1:B1 + 3]
+        W = jax.lax.dot_general(
+            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        xjW = xj * W
+        dqe = xjW[:, :F]
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        parts = [dqe]
+        for x in range(3):
+            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            parts.append(dmuR * dirs[:, x:x + 1] + dmumu * mujx)
+        msg = jnp.concatenate(parts, axis=-1)          # [k, 4F]
+        ohd = _oh(d_ref, o0, k, P)
+        for piece in _split_f32(msg, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d        # [P, 4F]
+    dq_ref[0, 0] = acc[:, :F]
+    dmu_ref[0, 0] = acc[:, F:]
+
+
+def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
+    nx, ny, Ktot = qcol.shape
+    A, D6 = xmu.shape
+    F = D6 // 6
+    B1 = geo.shape[2] - 3
+    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    dq, dmu = pl.pallas_call(
+        functools.partial(_msg_fm_fwd_kernel, P=P, F=F, B1=B1, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ] + _col_view_specs(nx, ny, P, D6, pieces),
+        out_specs=(
+            pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, F), xmu.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, 3 * F), xmu.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug,
+      *[h for h in halos for _ in range(9)])
+    return dq.reshape(A, F), dmu.reshape(A, 3 * F)
+
+
+def _msg_fm_bwd_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref, gmu_ref,
+                       *args, P, F, B1, ks, pieces):
+    cols = args[:9 * pieces]
+    outs = args[9 * pieces:]
+    part_refs = outs[:9]
+    ggeo_ref, gFW_ref = outs[9:]
+    offs = _koffs(ks)
+    geo = geo_ref[0, 0].T                              # [Ktot, B1+3]
+
+    @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
+    def _():
+        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+
+    gcat = jnp.concatenate([gq_ref[0, 0], gmu_ref[0, 0]], axis=-1)
+    gcat_pieces = _split_f32(gcat, pieces)
+    ggeo_parts = []
+    for c9 in range(9):
+        o0, k = offs[c9], ks[c9]
+        ohj = _oh(q_ref, o0, k, P)
+        ohd = _oh(d_ref, o0, k, P)
+        xmu_j = _gather_bucket(cols, ohj, c9, pieces)
+        xj = xmu_j[:, : 3 * F]
+        rbf = geo[o0:o0 + k, :B1]
+        dirs = geo[o0:o0 + k, B1:B1 + 3]
+        W = jax.lax.dot_general(
+            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        xjW = xj * W
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        gmsg = None
+        for piece in gcat_pieces:
+            d = jax.lax.dot_general(
+                ohd, piece, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gmsg = d if gmsg is None else gmsg + d
+        gqe = gmsg[:, :F]
+        gdmuR = None
+        gdmumu = None
+        gdir_parts = []
+        gmuj_parts = []
+        for x in range(3):
+            gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
+            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            t = gmux * dirs[:, x:x + 1]
+            gdmuR = t if gdmuR is None else gdmuR + t
+            t2 = gmux * mujx
+            gdmumu = t2 if gdmumu is None else gdmumu + t2
+            gmuj_parts.append(gmux * dmumu)
+            gdir_parts.append(jnp.sum(gmux * dmuR, axis=-1, keepdims=True))
+        gxjW = jnp.concatenate([gqe, gdmuR, gdmumu], axis=-1)
+        gxj = gxjW * W
+        gW = gxjW * xj
+        grbf = jax.lax.dot_general(
+            gW, FW_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        ggeo_parts.append(
+            jnp.concatenate([grbf] + gdir_parts, axis=-1))  # [k, B1+3]
+        gFW_ref[...] += jax.lax.dot_general(
+            rbf, gW, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=HI,
+        )
+        gxmu_e = jnp.concatenate([gxj] + gmuj_parts, axis=-1)
+        acc = None
+        for piece in _split_f32(gxmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+        part_refs[c9][0, 0] = acc
+    ggeo_ref[0, 0] = jnp.concatenate(ggeo_parts, axis=0).T  # [B1+3, Ktot]
+
+
+def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
+    g_dq, g_dmu = cots
+    nx, ny, Ktot = qcol.shape
+    A, D6 = xmu.shape
+    F = D6 // 6
+    B1 = geo.shape[2] - 3
+    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    gq5 = g_dq.reshape(nx, ny, P, F)
+    gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
+    outs = pl.pallas_call(
+        functools.partial(_msg_fm_bwd_kernel, P=P, F=F, B1=B1, ks=ks,
+                          pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+        ] + _col_view_specs(nx, ny, P, D6, pieces),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
+            for _ in range(9)
+        ) + (
+            pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nx, ny, P, D6), xmu.dtype)
+            for _ in range(9)
+        ) + (
+            jax.ShapeDtypeStruct((nx, ny, B1 + 3, Ktot), xmu.dtype),
+            jax.ShapeDtypeStruct((B1, 3 * F), xmu.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug, gq5, gmu5,
+      *[h for h in halos for _ in range(9)])
+    partials, ggeo, gFW = outs[:9], outs[9], outs[10]
+    dxmu = _fold_partials(partials, nx, ny, P, D6)
+    return dxmu.reshape(A, D6), ggeo, gFW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _painn_message_fm_p(xmu, geo, FW_aug, qcol, dcol, P, ks):
+    return _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, _cb.PIECES)
+
+
+def _pmfm_fwd(xmu, geo, FW_aug, qcol, dcol, P, ks):
+    out = _painn_message_fm_p(xmu, geo, FW_aug, qcol, dcol, P, ks)
+    return out, (xmu, geo, FW_aug, qcol, dcol)
+
+
+def _pmfm_bwd(P, ks, res, cots):
+    xmu, geo, FW_aug, qcol, dcol = res
+    dxmu, ggeo, gFW = _msg_fm_bwd_call(
+        xmu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+    return dxmu, ggeo, gFW, None, None
+
+
+_painn_message_fm_p.defvjp(_pmfm_fwd, _pmfm_bwd)
+
+
+def painn_message_columns_fm_pallas(xmu, geo, FW_aug, refs):
+    """Feature-major fused message: geo = [nx, ny, B1+3, Ktot]."""
+    return _painn_message_fm_p(xmu, geo, FW_aug, refs.qcol, refs.dcol,
+                               refs.P, refs.ksizes)

@@ -58,7 +58,14 @@ class PaiNNInteraction(nn.Module):
             # blocked layouts: gather + filter + message + neighbor-sum run
             # as one fused kernel; no [A, K, 3F] tensor is ever materialised
             xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
-            if fused_ctx[0] == "column":
+            if fused_ctx[0] == "column_fm":
+                from ..ops.colblock import painn_message_columns_fm
+
+                _, geo, FW_aug, refs = fused_ctx
+                dq_sum, dmu_sum = painn_message_columns_fm(
+                    xmu, geo, FW_aug, refs
+                )
+            elif fused_ctx[0] == "column":
                 from ..ops.colblock import painn_message_columns
 
                 _, rbf_aug, FW_aug, refs = fused_ctx
@@ -213,7 +220,14 @@ class PaiNN(nn.Module):
                 FW_aug = jnp.concatenate(
                     [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
                 )
-                if col_refs is not None:
+                if col_refs is not None and col_refs.shard_axis is None:
+                    # feature-major packed geometry (edge axis minor): one
+                    # unpadded [B+2+3, Ktot] tensor through the kernels
+                    geo = jnp.concatenate(
+                        [jnp.moveaxis(rbf_aug, -1, -2),
+                         jnp.moveaxis(dir_ij, -1, -2)], axis=2)
+                    fused_ctx_list.append(("column_fm", geo, FW_aug, col_refs))
+                elif col_refs is not None:
                     fused_ctx_list.append(("column", rbf_aug, FW_aug, col_refs))
                 else:
                     fused_ctx_list.append(("cell", rbf_aug, FW_aug, cell_qidx))

@@ -247,3 +247,54 @@ class TestMDParity:
         sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False)
         sim.simulate(20, chunk_size=10)
         assert np.isfinite(np.asarray(sim.system.positions)).all()
+
+
+class TestFusedMessageFM:
+    """Feature-major geo kernel vs the edge-major XLA reference."""
+
+    def test_fm_matches_xla_and_grads(self):
+        from schnetpack_tpu.ops import cellblock as cb
+        from schnetpack_tpu.ops.colblock import (
+            _painn_message_xla, painn_message_columns_fm,
+        )
+        from schnetpack_tpu.ops.colblock import ColRefs
+
+        old_impl, old_pieces = cb.IMPL, cb.PIECES
+        cb.IMPL, cb.PIECES = "pallas_interpret", 3
+        try:
+            lay, R, _ = _layout(seed=8, n=90, L=10.0, cutoff=3.4)
+            refs = ColRefs.from_layout(lay)
+            Ap = len(lay.order)
+            F = 32
+            rng = np.random.RandomState(9)
+            xmu = jnp.asarray(rng.randn(Ap, 6 * F), jnp.float32)
+            rbf = jnp.asarray(rng.randn(*lay.emask.shape, 9), jnp.float32)
+            rbf = rbf * jnp.asarray(lay.emask)[..., None]
+            dirs = jnp.asarray(rng.randn(*lay.emask.shape, 3), jnp.float32)
+            FW = jnp.asarray(rng.randn(9, 3 * F) * 0.3, jnp.float32)
+            geo = jnp.concatenate(
+                [jnp.moveaxis(rbf, -1, -2), jnp.moveaxis(dirs, -1, -2)],
+                axis=2)
+
+            def loss_fm(args):
+                x, g, fw = args
+                dq, dmu = painn_message_columns_fm(x, g, fw, refs)
+                return jnp.sum(jnp.sin(dq)) + jnp.sum(jnp.cos(dmu) * 0.5)
+
+            def loss_ref(args):
+                x, g, fw = args
+                gm = jnp.moveaxis(g, 2, 3)
+                dq, dmu = _painn_message_xla(x, gm[..., :9], gm[..., 9:],
+                                             fw, refs)
+                return jnp.sum(jnp.sin(dq)) + jnp.sum(jnp.cos(dmu) * 0.5)
+
+            args = (xmu, geo, FW)
+            v1, g1 = jax.value_and_grad(loss_fm)(args)
+            cb.IMPL = "xla"
+            v2, g2 = jax.value_and_grad(loss_ref)(args)
+            np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
+            for n, a, b in zip(["xmu", "geo", "FW"], g1, g2):
+                np.testing.assert_allclose(
+                    a, b, rtol=2e-4, atol=2e-4, err_msg=f"grad {n}")
+        finally:
+            cb.IMPL, cb.PIECES = old_impl, old_pieces

@@ -103,7 +103,7 @@ class MDCalculator:
         (e.g. a dense neighbor matrix); None by default."""
         return None
 
-    def update_state(self, system: System, calc_state):
+    def update_state(self, system: System, calc_state, probe=None):
         """Host-side between-chunk refresh (e.g. skin-based NBL rebuild).
         Returns the (possibly new) state; shapes must stay fixed."""
         return calc_state

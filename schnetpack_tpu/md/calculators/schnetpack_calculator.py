@@ -78,10 +78,17 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         self.dense_nbl.build(system)
         return self.dense_nbl.state()
 
-    def update_state(self, system: System, calc_state):
+    def chunk_probe(self, system: System):
+        """Device scalar the simulator fetches with the chunk logs (one
+        round trip): the neighbor list's max squared displacement."""
+        if self.dense_nbl is None:
+            return None
+        return self.dense_nbl.displacement2(system)
+
+    def update_state(self, system: System, calc_state, probe=None):
         if self.dense_nbl is None:
             return calc_state
-        if self.dense_nbl.maybe_rebuild(system):
+        if self.dense_nbl.maybe_rebuild(system, disp2=probe):
             return self.dense_nbl.state()
         return calc_state
 

@@ -50,6 +50,7 @@ class DenseNeighborListMD:
         self._offsets = None      # jnp [A, K, 3]
         self._mask = None         # jnp [A, K]
         self._build_positions = None  # np [R, A, 3]
+        self._build_positions_dev = None
 
     def build(self, system: System) -> None:
         from ..transform.neighborlist import cell_list_neighbor_list
@@ -129,13 +130,24 @@ class DenseNeighborListMD:
         self._mask = jnp.asarray(mask, dtype)
         self._rev = jnp.asarray(rev)
         self._build_positions = R_np.copy()
+        self._build_positions_dev = system.positions
 
-    def maybe_rebuild(self, system: System) -> bool:
+    def displacement2(self, system: System):
+        """Max squared displacement since the last build — a DEVICE scalar,
+        so the simulator can fetch it together with the chunk logs in one
+        round trip instead of pulling all positions every chunk."""
+        if self._build_positions_dev is None:
+            return None
+        return jnp.max(jnp.sum(
+            (system.positions - self._build_positions_dev) ** 2, axis=-1))
+
+    def maybe_rebuild(self, system: System, disp2=None) -> bool:
         if self._nbh is None:
             self.build(system)
             return True
-        R_np = np.asarray(jax.device_get(system.positions))
-        disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
+        if disp2 is None:
+            R_np = np.asarray(jax.device_get(system.positions))
+            disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
         if disp2 > (self.skin / 2.0) ** 2:
             self.build(system)
             return True
@@ -174,6 +186,7 @@ class CellBlockNeighborListMD:
         self._K = None
         self._C = None
         self._build_positions = None
+        self._build_positions_dev = None
         self._state = None
 
     def build(self, system: System) -> None:
@@ -265,13 +278,22 @@ class CellBlockNeighborListMD:
         })
         self._state = nbl_state
         self._build_positions = np.asarray(jax.device_get(system.positions)).copy()
+        self._build_positions_dev = system.positions
 
-    def maybe_rebuild(self, system: System) -> bool:
+    def displacement2(self, system: System):
+        """Device-scalar max squared displacement since the last build."""
+        if self._build_positions_dev is None:
+            return None
+        return jnp.max(jnp.sum(
+            (system.positions - self._build_positions_dev) ** 2, axis=-1))
+
+    def maybe_rebuild(self, system: System, disp2=None) -> bool:
         if self._state is None:
             self.build(system)
             return True
-        R_np = np.asarray(jax.device_get(system.positions))
-        disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
+        if disp2 is None:
+            R_np = np.asarray(jax.device_get(system.positions))
+            disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
         if disp2 > (self.skin / 2.0) ** 2:
             self.build(system)
             return True

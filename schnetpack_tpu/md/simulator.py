@@ -155,11 +155,18 @@ class Simulator:
             if profiling:
                 jax.profiler.start_trace(self.profile_dir)
             state, logs = self._scan(state, n)
-            jax.block_until_ready(state.system.positions)
+            # one host round trip per chunk: the logs and the calculator's
+            # rebuild probe (e.g. the NBL's max displacement) come back in a
+            # single device_get — positions are only fetched when a rebuild
+            # actually triggers
+            probe = None
+            if (hasattr(self.calculator, "chunk_probe")
+                    and state.calc_state is not None):
+                probe = self.calculator.chunk_probe(state.system)
+            logs_np, probe_np = jax.device_get((logs, probe))
             if profiling:
                 jax.profiler.stop_trace()
                 self._profiled = True
-            logs_np = jax.tree.map(np.asarray, logs)
             # publish live state so host hooks (checkpointing) see it
             self._state = state
             start = self.n_simulated
@@ -169,7 +176,8 @@ class Simulator:
                 h.process_chunk(self, logs_np, start)
             # host-side calculator refresh (e.g. skin-based NBL rebuild)
             if hasattr(self.calculator, "update_state") and state.calc_state is not None:
-                new_cs = self.calculator.update_state(state.system, state.calc_state)
+                new_cs = self.calculator.update_state(
+                    state.system, state.calc_state, probe=probe_np)
                 if new_cs is not state.calc_state:
                     state = state.replace(calc_state=new_cs)
                     self._state = state

@@ -96,9 +96,13 @@ def load_torch_model(path: str):
         "atomref": atomref,
         "mean": mean,
     }
-    # count interaction blocks
+    # count interaction blocks (SchNet/PaiNN use .interactions, SO3net
+    # uses per-role module lists)
+    blocks = "interactions" if any(
+        k.startswith("representation.interactions.") for k in sd
+    ) else "so3convs"
     n_int = 0
-    while any(k.startswith(f"representation.interactions.{n_int}.") for k in sd):
+    while any(k.startswith(f"representation.{blocks}.{n_int}.") for k in sd):
         n_int += 1
     info["n_interactions"] = n_int or 3
     return sd, info
@@ -300,6 +304,88 @@ def import_schnet(path: str, energy_key: str = "energy", calc_forces: bool = Tru
     return pot, params, info
 
 
+def import_so3net(path: str, energy_key: str = "energy",
+                  calc_forces: bool = True, head_activation=None):
+    """(model, params) from a reference-trained SO3net potential.
+
+    Conventions verified against the reference (tests/test_so3_import.py):
+    the real-Ylm bases agree elementwise, and the parity-invariant real
+    CG tensors agree elementwise (ref nn/ops/so3.py
+    generate_clebsch_gordan_rsh), so weights transfer directly.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from .. import properties as P
+    from ..atomistic import Atomwise, Forces, PairwiseDistances
+    from ..data.loader import PaddingSpec, collate
+    from ..model import NeuralNetworkPotential
+    from ..representation import SO3net
+    from ..transform import AddOffsets
+    from ..transform.neighborlist import NeighborListTransform
+
+    sd, info = load_torch_model(path)
+    if info["representation"] != "SO3net":
+        raise ValueError(f"not a SO3net model: {info['representation']}")
+    F = info["n_atom_basis"]
+    n_int = info["n_interactions"]
+    lmax = sd["representation.so3convs.0.filternet.weight"].shape[0] // F - 1
+
+    postprocessors = []
+    if info["atomref"] is not None:
+        atomref = np.zeros(101)
+        atomref[: len(info["atomref"])] = info["atomref"]
+        postprocessors.append(
+            AddOffsets(energy_key, add_mean=info["mean"] is not None,
+                       add_atomrefs=True, atomrefs=atomref,
+                       property_mean=float(info["mean"]) if info["mean"] is not None else None)
+        )
+
+    pot = NeuralNetworkPotential(
+        representation=SO3net(
+            n_atom_basis=F, n_interactions=n_int, lmax=lmax,
+            n_rbf=info["n_rbf"], cutoff=info["cutoff"], max_z=info["max_z"],
+        ),
+        input_modules=[PairwiseDistances()],
+        output_modules=[
+            Atomwise(output_key=energy_key,
+                     activation=head_activation or jax.nn.silu),
+            *([Forces(energy_key=energy_key)] if calc_forces else []),
+        ],
+        postprocessors=postprocessors,
+    )
+    probe = {
+        P.Z: np.array([6, 1]), P.R: np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+        P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool),
+    }
+    probe = NeighborListTransform(info["cutoff"])(probe)
+    batch = collate([probe], PaddingSpec(8, 16, 2))
+    params = pot.init(jax.random.PRNGKey(0), batch)
+    flat = flatten_dict(params["params"])
+    rep = ("representation",)
+    _set(flat, rep + ("embedding", "embedding"),
+         sd["representation.embedding.weight"])
+    for t in range(n_int):
+        _set(flat, rep + (f"so3conv_{t}", "filternet", "linear", "kernel"),
+             sd[f"representation.so3convs.{t}.filternet.weight"],
+             transpose=True)
+        _set(flat, rep + (f"so3conv_{t}", "filternet", "linear", "bias"),
+             sd[f"representation.so3convs.{t}.filternet.bias"])
+        for role, ours in (("mixings1", "mix1"), ("mixings2", "mix2"),
+                           ("mixings3", "mix3")):
+            _set(flat, rep + (f"{ours}_{t}", "linear", "kernel"),
+                 sd[f"representation.{role}.{t}.weight"], transpose=True)
+        _set(flat, rep + (f"gate_{t}", "scaling", "linear", "kernel"),
+             sd[f"representation.gatings.{t}.scaling.weight"], transpose=True)
+        _set(flat, rep + (f"gate_{t}", "scaling", "linear", "bias"),
+             sd[f"representation.gatings.{t}.scaling.bias"])
+    _import_atomwise(flat, sd, prefix="output_modules.0.outnet")
+    params = {"params": unflatten_dict(flat)}
+    params = jax.tree.map(jnp.asarray, params)
+    return pot, params, info
+
+
 def import_torch_model(path: str, **kwargs):
     """Dispatch on the representation class of the pickled model."""
     _, info = load_torch_model(path)
@@ -307,6 +393,8 @@ def import_torch_model(path: str, **kwargs):
         return import_painn(path, **kwargs)
     if info["representation"] == "SchNet":
         return import_schnet(path, **kwargs)
+    if info["representation"] == "SO3net":
+        return import_so3net(path, **kwargs)
     raise NotImplementedError(
         f"weight import for {info['representation']} is not supported yet"
     )

@@ -69,11 +69,13 @@ class SO3Convolution(nn.Module):
         ylm = so3_ops.real_spherical_harmonics(dir_ij, self.lmax)  # [.., n_lm]
         cg = so3_ops.cg_dense(self.lmax, x.dtype)
 
-        # radial filter: one weight set per degree l, expanded to lm
+        # radial filter indexed by the FILTER degree l(s1) — the Ylm slot of
+        # the CG product, exactly the reference's Widx = lidx[idx_in_1]
+        # (so3.py:229,250-251): y_s = sum C[s1,s2,s] (W_l(s1) Y_s1) x_s2
         Wl = Dense((self.lmax + 1) * F, name="filternet")(radial_ij)
         Wl = Wl.reshape(Wl.shape[:-1] + (self.lmax + 1, F)) * cutoff_ij[..., None, None]
         deg = jnp.asarray(so3_ops.degree_index(self.lmax))
-        Wlm = jnp.take(Wl, deg, axis=-2)  # [.., n_lm, F]
+        WY = jnp.take(Wl, deg, axis=-2) * ylm[..., None]  # [.., n_lm, F]
 
         if nbh_idx is not None:
             from ..ops.neighbor_gather import neighbor_gather
@@ -82,11 +84,11 @@ class SO3Convolution(nn.Module):
                 xj = neighbor_gather(x, nbh_idx, nbh_rev, nbh_mask)  # [A,K,n_lm,F]
             else:
                 xj = jnp.take(x, nbh_idx, axis=0)
-            msg = jnp.einsum("pqr,akpf,akq->akrf", cg, xj, ylm) * Wlm
+            msg = jnp.einsum("pqr,akpf,akqf->akrf", cg, WY, xj)
             return jnp.sum(msg, axis=1)
 
         xj = jnp.take(x, idx_j, axis=0)  # [P, n_lm, F]
-        msg = jnp.einsum("pqr,apf,aq->arf", cg, xj, ylm) * Wlm
+        msg = jnp.einsum("pqr,apf,aqf->arf", cg, WY, xj)
         return segment_sum(msg, idx_i, A)
 
 

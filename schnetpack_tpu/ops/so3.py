@@ -72,9 +72,16 @@ def real_spherical_harmonics(directions: jax.Array, lmax: int) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=8)
-def _cg_dense_np(lmax: int) -> np.ndarray:
+def _cg_dense_np(lmax: int, parity_invariance: bool = True) -> np.ndarray:
     """Dense real-basis CG tensor [n_lm, n_lm, n_lm]
-    (parity: nn/ops/so3.py:10-137 generate_clebsch_gordan + sparsify)."""
+    (parity: nn/ops/so3.py:10-137 generate_clebsch_gordan + sparsify).
+
+    ``parity_invariance`` zeroes couplings with odd l1+l2+l3 (pseudotensor
+    channels), matching the reference's default
+    (``generate_clebsch_gordan_rsh(parity_invariance=True)``); the
+    remaining blocks agree with the reference elementwise (verified in
+    tests/test_so3_import.py), and the parity-even real CG is symmetric
+    in its two input slots."""
     from sympy.physics.quantum.cg import CG as _CG
 
     n = (lmax + 1) ** 2
@@ -120,6 +127,8 @@ def _cg_dense_np(lmax: int) -> np.ndarray:
                     real_blk = cplx.imag
                 else:
                     real_blk = cplx.real
+                if parity_invariance and (l1 + l2 + l3) % 2 == 1:
+                    continue
                 o1, o2, o3 = l1 * l1, l2 * l2, l3 * l3
                 cg[
                     o1: o1 + 2 * l1 + 1,

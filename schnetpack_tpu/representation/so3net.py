@@ -85,15 +85,18 @@ class SO3net(nn.Module):
             gate = [SO3ParametricGatedNonlinearity(F, self.lmax, name=f"gate_{t}") for t in range(self.n_interactions)]
             tp = [SO3TensorProduct(self.lmax, name=f"tp_{t}") for t in range(self.n_interactions)]
 
+        # block composition exactly as the reference forward
+        # (so3net.py:137-146): conv -> mix1 -> +tensor-product -> mix2 ->
+        # gate -> mix3 -> residual
         for t in range(self.n_interactions):
             dx = conv[t](x, radial_ij, dir_ij, cutoff_ij, idx_i, idx_j,
                          nbh_idx, nbh_rev, nbh_mask)
             ddx = mix1[t](dx)
-            dx = dx + ddx + tp[t](dx, ddx)
-            dx = gate[t](dx)
+            dx = dx + tp[t](dx, ddx)
             dx = mix2[t](dx)
+            dx = gate[t](dx)
+            dx = mix3[t](dx)
             x = x + dx
-            x = mix3[t](x)
 
         inputs[properties.scalar_representation] = x[:, 0, :]
         inputs[properties.multipole_representation] = x

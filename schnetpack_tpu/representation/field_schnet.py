@@ -54,10 +54,15 @@ class DipoleUpdate(nn.Module):
     field: str
 
     @nn.compact
-    def __call__(self, q, mu_k, f_ij, dir_ij, cutoff_ij, idx_i, idx_j):
+    def __call__(self, q, mu_k, f_ij, dir_ij, cutoff_ij, idx_i, idx_j,
+                 nbh_idx=None):
         A = q.shape[0]
         W = Dense(self.n_atom_basis, use_bias=False, name="filter")(f_ij)
-        W = W * cutoff_ij[:, None]
+        W = W * cutoff_ij[..., None]
+        if nbh_idx is not None:
+            qj = jnp.take(q, nbh_idx, axis=0)               # [A, K, F]
+            msg = (W * qj)[:, :, None, :] * dir_ij[..., None]  # [A, K, 3, F]
+            return mu_k + jnp.sum(msg, axis=1)
         qj = jnp.take(q, idx_j, axis=0)  # [P, F]
         msg = (W * qj)[:, None, :] * dir_ij[:, :, None]  # [P, 3, F]
         return mu_k + segment_sum(msg, idx_i, A)
@@ -71,10 +76,18 @@ class DipoleInteraction(nn.Module):
     field: str
 
     @nn.compact
-    def __call__(self, mu_k, f_ij, d_ij, dir_ij, cutoff_ij, idx_i, idx_j):
+    def __call__(self, mu_k, f_ij, d_ij, dir_ij, cutoff_ij, idx_i, idx_j,
+                 nbh_idx=None):
         A = mu_k.shape[0]
-        W = Dense(self.n_atom_basis, name="filter")(f_ij) * cutoff_ij[:, None]
+        W = Dense(self.n_atom_basis, name="filter")(f_ij) * cutoff_ij[..., None]
         d3 = jnp.maximum(d_ij, 1e-6) ** 3
+        if nbh_idx is not None:
+            muj = jnp.take(mu_k, nbh_idx, axis=0)           # [A, K, 3, F]
+            proj = jnp.sum(muj * dir_ij[..., None], axis=2)  # [A, K, F]
+            field_term = (
+                3.0 * proj[:, :, None, :] * dir_ij[..., None] - muj
+            ) / d3[..., None, None]
+            return jnp.sum(field_term * W[:, :, None, :], axis=1)
         muj = jnp.take(mu_k, idx_j, axis=0)  # [P, 3, F]
         proj = jnp.sum(muj * dir_ij[:, :, None], axis=1)  # [P, F]
         field_term = (3.0 * proj[:, None, :] * dir_ij[:, :, None] - muj) / d3[:, None, None]
@@ -126,21 +139,24 @@ class FieldSchNet(nn.Module):
         idx_m = inputs[properties.idx_m]
         pair_mask = inputs[properties.pair_mask]
         F = self.n_atom_basis
-        if properties.nbh_rij in inputs and idx_i.shape[0] <= 1:
-            # the dense-only MD calculator provides a dummy flat list;
-            # FieldSchNet has no dense code path yet — fail loudly instead
-            # of silently computing an embedding-only representation
-            raise NotImplementedError(
-                "FieldSchNet requires the flat pair-list layout; use "
-                "SchNetPackCalculator(neighbor_list='all_pairs')"
-            )
-
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
-        d_ij = safe_norm(Rij, axis=-1)
-        dir_ij = Rij / d_ij[:, None]
-        f_ij = radial(d_ij)
-        rcut_ij = cutoff_fn(d_ij) * pair_mask
+        nbh_idx = None
+        if properties.nbh_rij in inputs and idx_i.shape[0] <= 1:
+            # dense [A, K] MD layout (the flat list carries no real pairs)
+            Rij = inputs[properties.nbh_rij]
+            nbh_idx = inputs[properties.nbh_idx]
+            nbh_mask = inputs[properties.nbh_mask]
+            d_ij = safe_norm(Rij, axis=-1)                  # [A, K]
+            dir_ij = Rij / d_ij[..., None]
+            f_ij = radial(d_ij)
+            rcut_ij = cutoff_fn(d_ij) * nbh_mask
+            idx_i = idx_j = None
+        else:
+            d_ij = safe_norm(Rij, axis=-1)
+            dir_ij = Rij / d_ij[:, None]
+            f_ij = radial(d_ij)
+            rcut_ij = cutoff_fn(d_ij) * pair_mask
 
         q = nn.Embed(self.max_z + 1, F, name="embedding")(Z)
 
@@ -166,20 +182,22 @@ class FieldSchNet(nn.Module):
 
         for t in range(self.n_interactions):
             dq = SchNetInteraction(F, F, self.activation, name=f"interaction_{t}")(
-                q, f_ij, rcut_ij, idx_i, idx_j
+                q, f_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx
             )
             dq = dq + FieldInteraction(F, name=f"field_inter_{t}")(mu, field_atoms)
             for f in fields:
                 tag = f.strip("_")
                 dmu = DipoleInteraction(F, f, name=f"dipole_inter_{t}_{tag}")(
-                    mu[f], f_ij, d_ij, dir_ij, rcut_ij, idx_i, idx_j
+                    mu[f], f_ij, d_ij, dir_ij, rcut_ij, idx_i, idx_j,
+                    nbh_idx=nbh_idx
                 )
                 # dipole-dipole feeds back into scalars via the local field
                 dq = dq + Dense(F, use_bias=False, name=f"dd2q_{t}_{tag}")(
                     jnp.sum(dmu * mu[f], axis=1)
                 )
                 mu[f] = DipoleUpdate(F, f, name=f"dipole_update_{t}_{tag}")(
-                    q, mu[f] + dmu, f_ij, dir_ij, rcut_ij, idx_i, idx_j
+                    q, mu[f] + dmu, f_ij, dir_ij, rcut_ij, idx_i, idx_j,
+                    nbh_idx=nbh_idx
                 )
             q = q + dq
 

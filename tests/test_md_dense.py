@@ -137,3 +137,50 @@ def test_ewald_in_md_dense_vs_flat():
     f_d, e_d = results["dense"]
     np.testing.assert_allclose(e_d, e_a, rtol=1e-5, atol=1e-7)
     np.testing.assert_allclose(f_d, f_a, rtol=1e-4, atol=1e-4)
+
+
+def test_field_schnet_dense_matches_flat():
+    """FieldSchNet over the dense [A, K] MD layout == flat layout."""
+    from schnetpack_tpu.atomistic import (
+        Atomwise, Forces, PairwiseDistances, StaticExternalFields,
+    )
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import FieldSchNet
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    cutoff = 3.5
+    pos, cell = _argon_box(seed=6)
+    mol = {P.Z: np.full(len(pos), 18, np.int64), P.R: pos,
+           P.cell: cell, P.pbc: np.ones(3, bool)}
+    pot = NeuralNetworkPotential(
+        representation=FieldSchNet(n_atom_basis=16, n_interactions=2,
+                                   n_rbf=8, cutoff=cutoff),
+        input_modules=[PairwiseDistances(),
+                       StaticExternalFields(
+                           required_fields=[P.electric_field])],
+        output_modules=[Atomwise(output_key=P.energy, n_out=1, n_layers=2),
+                        Forces()],
+    )
+    rng = np.random.RandomState(1)
+    probe = {
+        P.Z: np.full(8, 18, np.int64), P.R: rng.rand(8, 3) * 4 + 0.5,
+        P.cell: np.eye(3) * 8.0, P.pbc: np.ones(3, bool),
+    }
+    probe = NeighborListTransform(cutoff)(probe)
+    params = pot.init(jax.random.PRNGKey(0),
+                      collate([probe], PaddingSpec(12, 512, 2)))
+
+    results = {}
+    for mode in ("all_pairs", "dense"):
+        system = load_molecules([mol])
+        calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                    cutoff_shell=0.6, neighbor_list=mode)
+        state = calc.init_state(system)
+        out = calc.calculate(system, state)
+        results[mode] = (np.asarray(out.forces), np.asarray(out.energy))
+
+    f_a, e_a = results["all_pairs"]
+    f_d, e_d = results["dense"]
+    np.testing.assert_allclose(e_d, e_a, rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(f_d, f_a, rtol=1e-4, atol=1e-4)

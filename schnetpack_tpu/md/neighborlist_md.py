@@ -28,6 +28,13 @@ from .. import properties as structure
 from .system import System
 
 
+@jax.jit
+def _disp2(R, R0):
+    """One fused dispatch (eager op chains cost a tunnel round trip each
+    on remote TPUs)."""
+    return jnp.max(jnp.sum((R - R0) ** 2, axis=-1))
+
+
 class DenseNeighborListMD:
     """Dense [A, K] neighbor matrix with a Verlet skin for large systems.
 
@@ -138,8 +145,7 @@ class DenseNeighborListMD:
         round trip instead of pulling all positions every chunk."""
         if self._build_positions_dev is None:
             return None
-        return jnp.max(jnp.sum(
-            (system.positions - self._build_positions_dev) ** 2, axis=-1))
+        return _disp2(system.positions, self._build_positions_dev)
 
     def maybe_rebuild(self, system: System, disp2=None) -> bool:
         if self._nbh is None:
@@ -284,8 +290,7 @@ class CellBlockNeighborListMD:
         """Device-scalar max squared displacement since the last build."""
         if self._build_positions_dev is None:
             return None
-        return jnp.max(jnp.sum(
-            (system.positions - self._build_positions_dev) ** 2, axis=-1))
+        return _disp2(system.positions, self._build_positions_dev)
 
     def maybe_rebuild(self, system: System, disp2=None) -> bool:
         if self._state is None:

@@ -594,30 +594,45 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     return dq.reshape(A, F), dmu.reshape(A, 3 * F)
 
 
-def _msg_fm_bwd_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref, gmu_ref,
-                       *args, P, F, B1, ks, pieces):
-    cols = args[:9 * pieces]
-    outs = args[9 * pieces:]
-    part_refs = outs[:9]
-    ggeo_ref, gFW_ref = outs[9:]
+def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
+    """SOURCE-centric backward: grid step (xs, ys) recomputes every edge
+    whose SOURCE atom lives in its own column (bucket c9 of destination
+    column (xs-dx, ys-dy)), so the feature cotangent accumulates in VMEM
+    for exactly one owned column — no per-source-column partial arrays,
+    no roll-fold in XLA."""
+    qs = args[:9]
+    ds = args[9:18]
+    geos = args[18:27]
+    gqs = args[27:36]
+    gmus = args[36:45]
+    cols = args[45:45 + pieces]
+    outs = args[45 + pieces:]
+    dxmu_ref = outs[0]
+    ggeo_refs = outs[1:10]
+    gFW_ref = outs[10]
     offs = _koffs(ks)
-    geo = geo_ref[0, 0].T                              # [Ktot, B1+3]
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         gFW_ref[...] = jnp.zeros_like(gFW_ref)
 
-    gcat = jnp.concatenate([gq_ref[0, 0], gmu_ref[0, 0]], axis=-1)
-    gcat_pieces = _split_f32(gcat, pieces)
-    ggeo_parts = []
+    acc_dx = None
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
-        ohj = _oh(q_ref, o0, k, P)
-        ohd = _oh(d_ref, o0, k, P)
-        xmu_j = _gather_bucket(cols, ohj, c9, pieces)
+        ohj = _oh(qs[c9], o0, k, P)
+        ohd = _oh(ds[c9], o0, k, P)
+        geo = geos[c9][0, 0][:, o0:o0 + k].T              # [k, B1+3]
+        rbf = geo[:, :B1]
+        dirs = geo[:, B1:B1 + 3]
+        # recompute forward intermediates (sources are in MY column)
+        xmu_j = None
+        for piece in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[piece][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xmu_j = d if xmu_j is None else xmu_j + d
         xj = xmu_j[:, : 3 * F]
-        rbf = geo[o0:o0 + k, :B1]
-        dirs = geo[o0:o0 + k, B1:B1 + 3]
         W = jax.lax.dot_general(
             rbf, FW_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI,
@@ -625,13 +640,14 @@ def _msg_fm_bwd_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref, gmu_ref,
         xjW = xj * W
         dmuR = xjW[:, F:2 * F]
         dmumu = xjW[:, 2 * F:]
+        gcat = jnp.concatenate([gqs[c9][0, 0], gmus[c9][0, 0]], axis=-1)
         gmsg = None
-        for piece in gcat_pieces:
+        for piece in _split_f32(gcat, pieces):
             d = jax.lax.dot_general(
                 ohd, piece, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            gmsg = d if gmsg is None else gmsg + d
+            gmsg = d if gmsg is None else gmsg + d         # [k, 4F]
         gqe = gmsg[:, :F]
         gdmuR = None
         gdmumu = None
@@ -653,22 +669,20 @@ def _msg_fm_bwd_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref, gmu_ref,
             gW, FW_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI,
         )
-        ggeo_parts.append(
-            jnp.concatenate([grbf] + gdir_parts, axis=-1))  # [k, B1+3]
+        ggeo_refs[c9][0, 0] = jnp.concatenate(
+            [grbf] + gdir_parts, axis=-1).T               # [B1+3, k]
         gFW_ref[...] += jax.lax.dot_general(
             rbf, gW, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI,
         )
         gxmu_e = jnp.concatenate([gxj] + gmuj_parts, axis=-1)
-        acc = None
         for piece in _split_f32(gxmu_e, pieces):
             d = jax.lax.dot_general(
                 ohj, piece, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc = d if acc is None else acc + d
-        part_refs[c9][0, 0] = acc
-    ggeo_ref[0, 0] = jnp.concatenate(ggeo_parts, axis=0).T  # [B1+3, Ktot]
+            acc_dx = d if acc_dx is None else acc_dx + d  # [P, 6F]
+    dxmu_ref[0, 0] = acc_dx
 
 
 def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
@@ -680,38 +694,71 @@ def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
     gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
+
+    def dest_specs(shape4):
+        # view of the DEST column (xs - dx, ys - dy) for each bucket c9
+        return [
+            pl.BlockSpec(
+                shape4,
+                functools.partial(
+                    lambda i, j, dx, dy: ((i - dx) % nx, (j - dy) % ny, 0, 0),
+                    dx=dx, dy=dy,
+                ),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+
     outs = pl.pallas_call(
-        functools.partial(_msg_fm_bwd_kernel, P=P, F=F, B1=B1, ks=ks,
+        functools.partial(_msg_fm_bwd_src_kernel, P=P, F=F, B1=B1, ks=ks,
                           pieces=pieces),
         grid=(nx, ny),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
-        ] + _col_view_specs(nx, ny, P, D6, pieces),
-        out_specs=tuple(
-            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
-            for _ in range(9)
+        in_specs=[pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0))]
+        + dest_specs((1, 1, 1, Ktot))            # qcol
+        + dest_specs((1, 1, 1, Ktot))            # dcol
+        + dest_specs((1, 1, B1 + 3, Ktot))       # geo
+        + dest_specs((1, 1, P, F))               # g_dq
+        + dest_specs((1, 1, P, 3 * F))           # g_dmu
+        + [pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
+           for _ in range(pieces)],              # own xmu column pieces
+        out_specs=(
+            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0)),
+        ) + tuple(
+            pl.BlockSpec((1, 1, B1 + 3, k), lambda i, j: (i, j, 0, 0))
+            for k in ks
         ) + (
-            pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
         ),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((nx, ny, P, D6), xmu.dtype)
-            for _ in range(9)
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, D6), xmu.dtype),
+        ) + tuple(
+            jax.ShapeDtypeStruct((nx, ny, B1 + 3, k), xmu.dtype)
+            for k in ks
         ) + (
-            jax.ShapeDtypeStruct((nx, ny, B1 + 3, Ktot), xmu.dtype),
             jax.ShapeDtypeStruct((B1, 3 * F), xmu.dtype),
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
-    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug, gq5, gmu5,
-      *[h for h in halos for _ in range(9)])
-    partials, ggeo, gFW = outs[:9], outs[9], outs[10]
-    dxmu = _fold_partials(partials, nx, ny, P, D6)
+    )(FW_aug,
+      *([qcol[:, :, None, :]] * 9),
+      *([dcol[:, :, None, :]] * 9),
+      *([geo] * 9),
+      *([gq5] * 9),
+      *([gmu5] * 9),
+      *halos)
+    dxmu = outs[0]
+    ggeo_parts = outs[1:10]
+    gFW = outs[10]
+    # ggeo_c9 written at the SOURCE grid step (xs, ys) belongs to dest
+    # column (xs - dx, ys - dy): shift back and reassemble the packed axis
+    idx = 0
+    shifted = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            shifted.append(
+                jnp.roll(ggeo_parts[idx], (-dx, -dy), axis=(0, 1)))
+            idx += 1
+    ggeo = jnp.concatenate(shifted, axis=3)
     return dxmu.reshape(A, D6), ggeo, gFW
 
 

@@ -110,6 +110,10 @@ class SchNetPackCalculator(PairwiseMDCalculator):
                 inputs[structure.cell_emask] = calc_state[structure.cell_emask]
                 inputs[structure.cell_ksz] = calc_state[structure.cell_ksz]
                 inputs[structure.cell_coff] = calc_state[structure.cell_coff] * inv
+                if structure.cell_coff_fm in calc_state:
+                    inputs[structure.cell_coff_fm] = (
+                        calc_state[structure.cell_coff_fm] * inv
+                    )
             else:
                 if structure.cell_qidx in calc_state:
                     inputs[structure.cell_qidx] = calc_state[structure.cell_qidx]

@@ -263,6 +263,9 @@ class CellBlockNeighborListMD:
                 structure.cell_qcol: jnp.asarray(layout.qcol),
                 structure.cell_dcol: jnp.asarray(layout.dcol),
                 structure.cell_coff: jnp.asarray(layout.offcol, dtype),
+                structure.cell_coff_fm: jnp.asarray(
+                    np.moveaxis(layout.offcol, -1, 2), dtype
+                ),
                 structure.cell_emask: jnp.asarray(layout.emask, dtype),
                 structure.cell_ksz: tuple(
                     jnp.zeros((k,), jnp.int8) for k in layout.ksizes

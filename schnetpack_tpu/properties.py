@@ -78,6 +78,9 @@ cell_qcol: Final[str] = "_cell_qcol"
 cell_dcol: Final[str] = "_cell_dcol"
 #: column-bucketed Cartesian periodic offsets [nx, ny, 9, Kcol, 3]
 cell_coff: Final[str] = "_cell_coff"
+#: feature-major Cartesian periodic offsets [nx, ny, 3, Ktot] (presence
+#: enables the fused geometry kernel: R -> geo entirely in VMEM)
+cell_coff_fm: Final[str] = "_cell_coff_fm"
 #: column-bucketed edge mask [nx, ny, 9, Kcol]
 cell_emask: Final[str] = "_cell_emask"
 #: static bucket-size carrier: tuple of 9 zero arrays, shapes (ksizes[c9],)

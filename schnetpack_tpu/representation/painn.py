@@ -159,6 +159,7 @@ class PaiNN(nn.Module):
 
         cell_qidx = inputs.get(properties.cell_qidx)
         col_refs = None
+        fused_geo = None
         if properties.cell_qcol in inputs:
             # column-bucketed layout (the TPU fast path): per-edge geometry
             # lives in [nx, ny, 9, Kcol] bucket space
@@ -174,11 +175,32 @@ class PaiNN(nn.Module):
                 shard = COLS_AXIS
             col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz,
                                shard)
-            Rij = inputs[properties.col_rij]               # [nx,ny,9,Kcol,3]
-            emask = inputs[properties.cell_emask]
-            d_ij = safe_norm(Rij, axis=-1)
-            dir_ij = Rij / d_ij[..., None]
-            fcut = cutoff_fn(d_ij) * emask
+            gauss = (
+                isinstance(radial, GaussianRBF) and not radial.trainable
+            )
+            if (shard is None and gauss
+                    and isinstance(cutoff_fn, CosineCutoff)
+                    and properties.cell_coff_fm in inputs):
+                # fused geometry: R -> [phi*fcut, fcut, dir] feature-major
+                # entirely in VMEM (ops/colblock_geo.py); nothing per-edge
+                # is materialised edge-major in HBM
+                from ..ops.colblock_geo import column_geometry
+                from ..ops.radial import gaussian_rbf_params
+
+                centers, widths = gaussian_rbf_params(
+                    radial.n_rbf, radial.cutoff, radial.start
+                )
+                fused_geo = column_geometry(
+                    inputs[properties.R], inputs[properties.cell_coff_fm],
+                    col_refs, centers, widths, cutoff_fn.cutoff,
+                )
+                d_ij = dir_ij = fcut = None
+            else:
+                Rij = inputs[properties.col_rij]           # [nx,ny,9,Kcol,3]
+                emask = inputs[properties.cell_emask]
+                d_ij = safe_norm(Rij, axis=-1)
+                dir_ij = Rij / d_ij[..., None]
+                fcut = cutoff_fn(d_ij) * emask
             nbh_idx = nbh_rev = nbh_mask = idx_i = idx_j = None
         elif dense:
             Rij = inputs[properties.nbh_rij]               # [A, K, 3]
@@ -198,7 +220,7 @@ class PaiNN(nn.Module):
             dir_ij = Rij / d_ij[:, None]
             fcut = cutoff_fn(d_ij) * inputs[properties.pair_mask]
 
-        phi_ij = radial(d_ij)
+        phi_ij = radial(d_ij) if d_ij is not None else None
         n_filt = 3 * F if self.shared_filters else self.n_interactions * 3 * F
         filter_net = Dense(n_filt, name="filter_net")
 
@@ -208,19 +230,24 @@ class PaiNN(nn.Module):
             # kernel, so extract its weight matrix (rows = basis functions,
             # plus a bias row driven by an fcut channel) instead of
             # materialising filters [A, K, n_interactions*3F]
-            B = phi_ij.shape[-1]
-            bias = filter_net(jnp.zeros((1, B), phi_ij.dtype))[0]
-            FWm = filter_net(jnp.eye(B, dtype=phi_ij.dtype)) - bias[None]
-            rbf_aug = jnp.concatenate(
-                [phi_ij * fcut[..., None], fcut[..., None]], axis=-1
-            )
+            dtype = inputs[properties.R].dtype
+            B = radial.n_rbf if phi_ij is None else phi_ij.shape[-1]
+            bias = filter_net(jnp.zeros((1, B), dtype))[0]
+            FWm = filter_net(jnp.eye(B, dtype=dtype)) - bias[None]
+            if fused_geo is None:
+                rbf_aug = jnp.concatenate(
+                    [phi_ij * fcut[..., None], fcut[..., None]], axis=-1
+                )
             fused_ctx_list = []
             for t in range(self.n_interactions):
                 s = 0 if self.shared_filters else t * 3 * F
                 FW_aug = jnp.concatenate(
                     [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
                 )
-                if col_refs is not None and col_refs.shard_axis is None:
+                if fused_geo is not None:
+                    fused_ctx_list.append(
+                        ("column_fm", fused_geo, FW_aug, col_refs))
+                elif col_refs is not None and col_refs.shard_axis is None:
                     # feature-major packed geometry (edge axis minor): one
                     # unpadded [B+2+3, Ktot] tensor through the kernels
                     geo = jnp.concatenate(

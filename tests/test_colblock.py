@@ -298,3 +298,104 @@ class TestFusedMessageFM:
                     a, b, rtol=2e-4, atol=2e-4, err_msg=f"grad {n}")
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces
+
+
+class TestFusedGeometry:
+    """Fused geometry kernel (R -> geo) vs the XLA oracle, incl. VJP."""
+
+    def test_geo_matches_xla_and_grad(self):
+        from schnetpack_tpu.ops import colblock_geo as cg
+        from schnetpack_tpu.ops.radial import gaussian_rbf_params
+
+        old_impl, old_pieces = cb.IMPL, cb.PIECES
+        cb.IMPL, cb.PIECES = "pallas_interpret", 3
+        try:
+            cutoff = 3.2
+            lay, R, cell = _layout(seed=11, n=110, L=11.0, cutoff=3.6)
+            refs = ColRefs.from_layout(lay)
+            Rs = jnp.asarray(R[lay.order], jnp.float32) * jnp.asarray(
+                lay.slot_mask)[:, None]
+            coff_fm = jnp.asarray(
+                np.moveaxis(lay.offcol, -1, 2), jnp.float32)
+            centers, widths = gaussian_rbf_params(12, cutoff, 0.0)
+
+            geo_k = cg.column_geometry(Rs, coff_fm, refs, centers, widths,
+                                       cutoff)
+            geo_x = cg.column_geometry_xla(Rs, coff_fm, refs, centers,
+                                           widths, cutoff)
+            np.testing.assert_allclose(geo_k, geo_x, rtol=1e-5, atol=1e-6)
+
+            g = jnp.asarray(
+                np.random.RandomState(3).randn(*geo_k.shape), jnp.float32)
+
+            def loss_k(Rv):
+                return jnp.sum(cg.column_geometry(
+                    Rv, coff_fm, refs, centers, widths, cutoff) * g)
+
+            def loss_x(Rv):
+                return jnp.sum(cg.column_geometry_xla(
+                    Rv, coff_fm, refs, centers, widths, cutoff) * g)
+
+            dk = jax.grad(loss_k)(Rs)
+            dx = jax.grad(loss_x)(Rs)
+            np.testing.assert_allclose(dk, dx, rtol=1e-4, atol=1e-5)
+        finally:
+            cb.IMPL, cb.PIECES = old_impl, old_pieces
+
+    def test_model_end_to_end_fused_geo(self):
+        """PaiNN forces via the fused geometry path == the col_rij path."""
+        from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+        from schnetpack_tpu.model import NeuralNetworkPotential
+        from schnetpack_tpu.representation import PaiNN
+
+        cutoff = 3.2
+        lay, R, cell = _layout(seed=12, n=90, L=10.0, cutoff=3.6)
+        nx, ny, Pc, ks = lay.dims
+        Ap = nx * ny * Pc
+        Rs = jnp.asarray(R[lay.order], jnp.float32) * jnp.asarray(
+            lay.slot_mask)[:, None]
+        Z = jnp.asarray((np.full(len(R), 8)[lay.order]
+                         * (lay.slot_mask > 0)).astype(np.int32))
+        inputs = {
+            P.Z: Z, P.R: Rs,
+            P.idx_m: jnp.zeros(Ap, jnp.int32),
+            P.atom_mask: jnp.asarray(lay.slot_mask, jnp.float32),
+            P.n_atoms: jnp.asarray([len(R)]),
+            P.cell: jnp.asarray(cell, jnp.float32)[None],
+            P.pbc: jnp.ones((1, 3), bool),
+            P.cell_qcol: jnp.asarray(lay.qcol),
+            P.cell_dcol: jnp.asarray(lay.dcol),
+            P.cell_coff: jnp.asarray(lay.offcol, jnp.float32),
+            P.cell_emask: jnp.asarray(lay.emask, jnp.float32),
+            P.cell_ksz: tuple(jnp.zeros((k,), jnp.int8) for k in ks),
+            P.idx_i: jnp.zeros(1, jnp.int32),
+            P.idx_j: jnp.zeros(1, jnp.int32),
+            P.offsets: jnp.full((1, 3), 1e3, jnp.float32),
+            P.pair_mask: jnp.zeros(1, jnp.float32),
+            P.mol_mask: jnp.ones(1, jnp.float32),
+        }
+        pot = NeuralNetworkPotential(
+            representation=PaiNN(n_atom_basis=16, n_interactions=2,
+                                 n_rbf=8, cutoff=cutoff),
+            input_modules=[PairwiseDistances()],
+            output_modules=[Atomwise(output_key=P.energy), Forces()],
+        )
+        old_impl, old_pieces = cb.IMPL, cb.PIECES
+        try:
+            cb.IMPL = "xla"
+            params = pot.init(jax.random.PRNGKey(0), dict(inputs))
+            ref = pot.apply(params, dict(inputs))
+
+            cb.IMPL, cb.PIECES = "pallas_interpret", 3
+            inp2 = dict(inputs)
+            inp2[P.cell_coff_fm] = jnp.asarray(
+                np.moveaxis(lay.offcol, -1, 2), jnp.float32)
+            out = pot.apply(params, inp2)
+            np.testing.assert_allclose(
+                out[P.energy], ref[P.energy], rtol=1e-5, atol=1e-5)
+            fscale = float(jnp.max(jnp.abs(ref[P.forces])))
+            np.testing.assert_allclose(
+                out[P.forces] / fscale, ref[P.forces] / fscale,
+                rtol=1e-4, atol=1e-4)
+        finally:
+            cb.IMPL, cb.PIECES = old_impl, old_pieces

@@ -38,6 +38,7 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         cutoff_shell: float = 0.0,
         required_properties: List[str] = (),
         neighbor_list: str = "all_pairs",  # "all_pairs" | "dense"
+        precision: Optional[str] = None,   # "bf16" | "mixed" | "f32"
     ):
         super().__init__(
             cutoff=cutoff,
@@ -52,6 +53,16 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         self.model = model
         self.params = params
         self.nbl_mode = neighbor_list
+        if precision is not None:
+            # feature precision of the blocked-layout selection kernels.
+            # Positions/geometry stay exact f32 regardless (the fused
+            # geometry kernel always selects positions in 3x-bf16 pieces);
+            # this sets the bf16 split count for the FEATURE selection
+            # passes: bf16 = 1 piece (~2x faster messages, ~0.1% force
+            # error), mixed = 2 (~16-bit mantissa), f32 = 3 (exact).
+            from ...ops import cellblock as _cb
+
+            _cb.PIECES = {"bf16": 1, "mixed": 2, "f32": 3}[precision]
         if neighbor_list == "dense":
             from ..neighborlist_md import DenseNeighborListMD
 

@@ -217,6 +217,34 @@ class CellBlockNeighborListMD:
         rc = self.cutoff + self.skin
 
         if self.layout_kind == "column":
+            if self._dims is None:
+                # First build: probe capacities on a skin-jittered copy of
+                # the positions so thermal motion up to the rebuild
+                # trigger (skin/2 per atom) cannot overflow the sticky
+                # bucket/column capacities mid-run.  Starting geometries
+                # are often lattices whose perfectly-aligned columns give
+                # pathologically small bucket occupancies.
+                lay0 = build_column_layout(
+                    R_np, rc, use_cell, use_pbc,
+                    capacity_headroom=self.capacity_headroom,
+                )
+                nx0, ny0, P0, ks0 = lay0.dims
+                jit = R_np + np.random.RandomState(0).uniform(
+                    -self.skin / 2.0, self.skin / 2.0, R_np.shape
+                )
+                try:
+                    lay1 = build_column_layout(
+                        jit, rc, use_cell, use_pbc, dims=(nx0, ny0, 1),
+                        capacity_headroom=self.capacity_headroom,
+                    )
+                    _, _, P1, ks1 = lay1.dims
+                except ValueError:
+                    P1, ks1 = P0, ks0
+                self._dims = (nx0, ny0, 1)
+                self._C = max(P0, P1)
+                self._K = tuple(
+                    max(a, b) + 8 for a, b in zip(ks0, ks1)
+                )
             try:
                 layout = build_column_layout(
                     R_np, rc, use_cell, use_pbc, capacity=self._C,

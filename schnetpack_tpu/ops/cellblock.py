@@ -63,9 +63,13 @@ SELECTION_PRECISION = jax.lax.Precision.HIGH
 # "xla" | "pallas" | "pallas_interpret"
 IMPL: Optional[str] = None
 
-# bf16 selection passes for the Pallas kernels: 2 -> ~16-bit mantissa,
-# 3 -> exact float32 (one-hot entries are exact in a single bf16 term)
-PIECES: int = 2
+# bf16 selection passes for the Pallas kernels: 1 -> bf16 features,
+# 2 -> ~16-bit mantissa, 3 -> exact float32 (one-hot entries are exact in
+# a single bf16 term).  The MD calculator sets this per-run via its
+# `precision` argument; SPK_TPU_PIECES overrides the default for scripts.
+import os as _os
+
+PIECES: int = int(_os.environ.get("SPK_TPU_PIECES", "2"))
 
 
 def _impl() -> str:

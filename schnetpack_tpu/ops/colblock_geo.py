@@ -4,18 +4,25 @@ The MD-step geometry chain — gather R_j / expand R_i, Rij, d, dir,
 cosine cutoff, Gaussian radial basis, feature-major packing — previously
 ran as an XLA op chain over edge-major ``[nx, ny, Ktot, 3]`` / ``[..., 21]``
 tensors whose (8, 128) lane-tile padding inflates HBM traffic 43x / 6x;
-measurement (PERF.md) attributed ~8 ms of the 23 ms step to this residual
-chain plus ~1 ms to the position gathers.  This kernel computes the whole
-chain in VMEM and emits ONE feature-major tensor
+measurement (PERF.md) attributed ~4.5 ms of the 23 ms step to this chain
+(mostly its backward).  This kernel computes the whole chain in VMEM and
+emits ONE feature-major tensor
 
     geo [nx, ny, B1+3, Ktot]   (B1 = n_rbf + 1)
 
 with channels [phi * fcut (n_rbf), fcut, dir (3)] — exactly the layout the
 fused feature-major PaiNN message kernels consume — so nothing per-edge is
-ever materialised edge-major in HBM.
+ever materialised edge-major anywhere, in HBM *or in VMEM*: every
+elementwise op here runs channel-major [ch, k] with the packed edge axis
+on lanes (full 128-lane utilisation; the first, edge-major version of this
+kernel measured 2.5x slower than XLA because [k, 21]-shaped VPU ops use
+21/128 lanes).
 
-Position gathers run as one-hot selection dots in 3x-bf16 split pieces
-(exact float32: 8+8+8 mantissa bits; one-hot entries are exact in bf16).
+Positions enter pre-transposed [nx, ny, 3, P] and are selected with
+transposed one-hots [P, k] in 3x-bf16 split pieces (exact float32:
+8+8+8 mantissa bits; one-hot entries are exact in bf16).  This keeps the
+geometry exact even when the feature kernels run the fast bf16
+single-piece mode (ops/cellblock.PIECES == 1).
 
 The hand-written VJP returns dR only (the per-edge Cartesian offsets,
 basis centers/widths and cutoff are constants of the MD step): a single
@@ -42,8 +49,6 @@ from jax.experimental.pallas import tpu as pltpu
 from . import cellblock as _cb
 from .cellblock_pallas import COL_OFFSETS, _split_f32
 
-HI = jax.lax.Precision.HIGHEST
-
 # bf16 split passes for the position-selection dots: 3 = exact f32
 POS_PIECES = 3
 
@@ -64,72 +69,67 @@ def _vmem_params():
     return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
 
-def _oh_f32(idx_ref, off, k, depth):
-    """One-hot [k, depth] float32 for packed rows [off, off+k)."""
-    v = idx_ref[0, 0, 0, off:off + k]
-    iota = jax.lax.broadcasted_iota(jnp.int32, (k, depth), 1)
-    return (v[:, None] == iota).astype(jnp.float32)
+def _ohT(vec, P):
+    """Transposed one-hot [P, k] (bf16) of a lane vector of row indices."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (P, vec.shape[0]), 0)
+    return (vec[None, :] == iota).astype(jnp.bfloat16)
 
 
-def _sel_pos(oh_f32, pos_pieces):
-    """Exact-f32 one-hot selection of positions [k, 3] from bf16 pieces."""
-    oh = oh_f32.astype(jnp.bfloat16)
+def _sel_posT(ohT, pieces_list):
+    """Exact-f32 selection [3, k] = sum_p posT_p [3, P] @ ohT [P, k]."""
     acc = None
-    for piece in pos_pieces:
+    for piece in pieces_list:
         d = jax.lax.dot_general(
-            oh, piece[0, 0], (((1,), (0,)), ((), ())),
+            piece[0, 0], ohT, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc = d if acc is None else acc + d
     return acc
 
 
-def _edge_geometry(rij, emask, cw_ref, B, rc):
-    """Forward chain rij [k,3] -> (d, inv_d, dirs, fcut, phi, diff, coeff)."""
-    d2 = jnp.sum(rij * rij, axis=1, keepdims=True)
+def _fold_posT(gT_f32, ohT):
+    """Exact-f32 fold [3, P] = sum_p g_piece [3, k] @ ohT^T [k, P]."""
+    acc = None
+    for piece in _split_f32(gT_f32, POS_PIECES):
+        d = jax.lax.dot_general(
+            piece, ohT, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    return acc
+
+
+def _recompute_geo(q_ref, d_ref, coff, cw_ref, pos_pieces, o0, k, P, rc):
+    """Shared fwd chain for one bucket; everything channel-major [ch, k]."""
+    q = q_ref[0, 0, 0, o0:o0 + k]
+    dv = d_ref[0, 0, 0, o0:o0 + k]
+    ohjT = _ohT(q, P)
+    ohdT = _ohT(dv, P)
+    emaskT = (q >= 0).astype(jnp.float32)[None, :]              # [1, k]
+    RjT = _sel_posT(ohjT, [pos_pieces[p * 9 + 0] for p in range(POS_PIECES)])
+    RiT = _sel_posT(ohdT, [pos_pieces[p * 9 + 1] for p in range(POS_PIECES)])
+    rijT = (RjT + coff[:, o0:o0 + k] - RiT) * emaskT            # [3, k]
+    d2 = jnp.sum(rijT * rijT, axis=0, keepdims=True)
     # padded edges have rij == 0; shift their d to 1 so divisions are safe
-    d = jnp.sqrt(d2 + (1.0 - emask))
+    d = jnp.sqrt(d2 + (1.0 - emaskT))
     inv_d = 1.0 / d
-    dirs = rij * inv_d
+    dirsT = rijT * inv_d
     f = 0.5 * (jnp.cos(d * (np.pi / rc)) + 1.0)
-    fcut = jnp.where(d < rc, f, 0.0) * emask                   # [k, 1]
-    centers = cw_ref[0:1, :]                                   # [1, B]
-    coeff = cw_ref[1:2, :]                                     # [1, B] = -0.5/w^2
-    diff = d - centers                                         # [k, B]
+    fcutT = jnp.where(d < rc, f, 0.0) * emaskT                  # [1, k]
+    centers = cw_ref[:, 0:1]                                    # [B, 1]
+    coeff = cw_ref[:, 1:2]                                      # -0.5/w^2
+    diff = d - centers                                          # [B, k]
     phi = jnp.exp(coeff * diff * diff)
-    return d, inv_d, dirs, fcut, phi, diff, coeff
+    return (ohjT, ohdT, emaskT, rijT, d, inv_d, dirsT, fcutT, phi, diff,
+            coeff)
 
 
 # ------------------------------------------------------------------ fwd
-def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args,
-                    P, B, ks, rc):
-    pos_pieces = args[: 9 * POS_PIECES]
-    out_ref, scratch = args[9 * POS_PIECES], args[9 * POS_PIECES + 1]
-    offs = _koffs(ks)
-    coff = coff_ref[0, 0]                                      # [3, Ktot]
-    for c9 in range(9):
-        o0, k = offs[c9], ks[c9]
-        ohj = _oh_f32(q_ref, o0, k, P)
-        ohd = _oh_f32(d_ref, o0, k, P)
-        emask = (q_ref[0, 0, 0, o0:o0 + k] >= 0).astype(
-            jnp.float32)[:, None]
-        Rj = _sel_pos(ohj, [pos_pieces[p * 9 + c9]
-                            for p in range(POS_PIECES)])
-        Ri = _sel_pos(ohd, [pos_pieces[p * 9 + 4]
-                            for p in range(POS_PIECES)])
-        rij = (Rj + coff[:, o0:o0 + k].T - Ri) * emask
-        _, _, dirs, fcut, phi, _, _ = _edge_geometry(
-            rij, emask, cw_ref, B, rc)
-        # accumulate edge-major rows in scratch; one transpose at the end
-        scratch[o0:o0 + k, :] = jnp.concatenate(
-            [phi * fcut, fcut, dirs], axis=1)
-    out_ref[0, 0] = scratch[:].T                               # [B+4, Ktot]
-
-
-def _col_pos_specs(nx, ny, P):
+def _posT_specs(nx, ny, P):
+    """9 modular column views per position piece, posT layout [.., 3, P]."""
     return [
         pl.BlockSpec(
-            (1, 1, P, 3),
+            (1, 1, 3, P),
             functools.partial(
                 lambda i, j, di, dj: ((i + di) % nx, (j + dj) % ny, 0, 0),
                 di=di, dj=dj,
@@ -140,10 +140,22 @@ def _col_pos_specs(nx, ny, P):
     ]
 
 
+def _own_specs(nx, ny, P):
+    return [
+        pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0))
+        for _ in range(POS_PIECES)
+    ]
+
+
+def _posT_pieces(R, nx, ny, P):
+    posT = jnp.moveaxis(R.reshape(nx, ny, P, 3), 3, 2)          # [nx,ny,3,P]
+    return _split_f32(posT, POS_PIECES)
+
+
 def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc):
     nx, ny, Ktot = qcol.shape
-    B = cw.shape[1]
-    pos = [p.reshape(nx, ny, P, 3) for p in _split_f32(R, POS_PIECES)]
+    B = cw.shape[0]
+    pieces = _posT_pieces(R, nx, ny, P)
     return pl.pallas_call(
         functools.partial(_geo_fwd_kernel, P=P, B=B, ks=ks, rc=rc),
         grid=(nx, ny),
@@ -151,73 +163,82 @@ def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc):
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 3, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((2, B), lambda i, j: (0, 0)),
-        ] + _col_pos_specs(nx, ny, P),
+            pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
+        ] + _posT_specs(nx, ny, P) + _own_specs(nx, ny, P),
         out_specs=pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nx, ny, B + 4, Ktot), R.dtype),
-        scratch_shapes=[pltpu.VMEM((Ktot, B + 4), jnp.float32)],
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], coff_fm, cw,
-      *[p for p in pos for _ in range(9)])
+      *[p for p in pieces for _ in range(9)], *pieces)
+
+
+def _bucket_pieces(args, c9):
+    """pos_pieces layout for _recompute_geo: p*9+0 = src view of bucket c9
+    (halo'd), p*9+1 = own column view."""
+    out = [None] * (9 * POS_PIECES)
+    for p in range(POS_PIECES):
+        out[p * 9 + 0] = args[p * 9 + c9]
+        out[p * 9 + 1] = args[POS_PIECES * 9 + p]
+    return out
+
+
+def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc):
+    pos_args = args[: POS_PIECES * 9 + POS_PIECES]
+    out_ref = args[POS_PIECES * 9 + POS_PIECES]
+    offs = _koffs(ks)
+    coff = coff_ref[0, 0]
+    for c9 in range(9):
+        o0, k = offs[c9], ks[c9]
+        (_, _, _, _, d, _, dirsT, fcutT, phi, _, _) = _recompute_geo(
+            q_ref, d_ref, coff, cw_ref, _bucket_pieces(pos_args, c9),
+            o0, k, P, rc)
+        out_ref[0, 0, 0:B, o0:o0 + k] = phi * fcutT
+        out_ref[0, 0, B:B + 1, o0:o0 + k] = fcutT
+        out_ref[0, 0, B + 1:B + 4, o0:o0 + k] = dirsT
 
 
 # ------------------------------------------------------------------ bwd
 def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, g_ref, *args,
                     P, B, ks, rc):
-    pos_pieces = args[: 9 * POS_PIECES]
-    outs = args[9 * POS_PIECES:]
+    pos_args = args[: POS_PIECES * 9 + POS_PIECES]
+    outs = args[POS_PIECES * 9 + POS_PIECES:]
     dRi_ref = outs[0]
     part_refs = outs[1:]
     offs = _koffs(ks)
     coff = coff_ref[0, 0]
-    gT = g_ref[0, 0].T                                         # [Ktot, B+4]
+    g = g_ref[0, 0]                                             # [B+4, Ktot]
     acc_i = None
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
-        ohj = _oh_f32(q_ref, o0, k, P)
-        ohd = _oh_f32(d_ref, o0, k, P)
-        emask = (q_ref[0, 0, 0, o0:o0 + k] >= 0).astype(
-            jnp.float32)[:, None]
-        Rj = _sel_pos(ohj, [pos_pieces[p * 9 + c9]
-                            for p in range(POS_PIECES)])
-        Ri = _sel_pos(ohd, [pos_pieces[p * 9 + 4]
-                            for p in range(POS_PIECES)])
-        rij = (Rj + coff[:, o0:o0 + k].T - Ri) * emask
-        d, inv_d, dirs, fcut, phi, diff, coeff = _edge_geometry(
-            rij, emask, cw_ref, B, rc)
-
-        g = gT[o0:o0 + k, :]                                   # [k, B+4]
-        gphi = g[:, :B]
-        gfc = g[:, B:B + 1]
-        gdir = g[:, B + 1:B + 4]
-        dphi_dd = 2.0 * coeff * diff * phi                     # [k, B]
+        (ohjT, ohdT, emaskT, rijT, d, inv_d, dirsT, fcutT, phi, diff,
+         coeff) = _recompute_geo(
+            q_ref, d_ref, coff, cw_ref, _bucket_pieces(pos_args, c9),
+            o0, k, P, rc)
+        gphi = g[0:B, o0:o0 + k]
+        gfc = g[B:B + 1, o0:o0 + k]
+        gdir = g[B + 1:B + 4, o0:o0 + k]
+        dphi_dd = 2.0 * coeff * diff * phi                      # [B, k]
         fp = -0.5 * (np.pi / rc) * jnp.sin(d * (np.pi / rc))
-        dfcut_dd = jnp.where(d < rc, fp, 0.0) * emask          # [k, 1]
+        dfcut_dd = jnp.where(d < rc, fp, 0.0) * emaskT          # [1, k]
         gd = (
-            jnp.sum(gphi * dphi_dd, axis=1, keepdims=True) * fcut
-            + (jnp.sum(gphi * phi, axis=1, keepdims=True) + gfc) * dfcut_dd
+            jnp.sum(gphi * dphi_dd, axis=0, keepdims=True) * fcutT
+            + (jnp.sum(gphi * phi, axis=0, keepdims=True) + gfc) * dfcut_dd
         )
-        gdr = jnp.sum(gdir * rij, axis=1, keepdims=True)
-        grij = (gdir * inv_d - rij * (gdr * inv_d * inv_d * inv_d)
-                + gd * dirs) * emask                           # [k, 3]
-        di = jax.lax.dot_general(
-            ohd, grij, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )
+        gdr = jnp.sum(gdir * rijT, axis=0, keepdims=True)
+        grijT = (gdir * inv_d - rijT * (gdr * inv_d * inv_d * inv_d)
+                 + gd * dirsT) * emaskT                         # [3, k]
+        di = _fold_posT(grijT, ohdT)                            # [3, P]
         acc_i = -di if acc_i is None else acc_i - di
-        part_refs[c9][0, 0] = jax.lax.dot_general(
-            ohj, grij, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )
+        part_refs[c9][0, 0] = _fold_posT(grijT, ohjT)
     dRi_ref[0, 0] = acc_i
 
 
 def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc):
     nx, ny, Ktot = qcol.shape
-    B = cw.shape[1]
+    B = cw.shape[0]
     A = R.shape[0]
-    pos = [p.reshape(nx, ny, P, 3) for p in _split_f32(R, POS_PIECES)]
+    pieces = _posT_pieces(R, nx, ny, P)
     outs = pl.pallas_call(
         functools.partial(_geo_bwd_kernel, P=P, B=B, ks=ks, rc=rc),
         grid=(nx, ny),
@@ -225,25 +246,24 @@ def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc):
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 3, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((2, B), lambda i, j: (0, 0)),
+            pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
-        ] + _col_pos_specs(nx, ny, P),
+        ] + _posT_specs(nx, ny, P) + _own_specs(nx, ny, P),
         out_specs=tuple(
-            pl.BlockSpec((1, 1, P, 3), lambda i, j: (i, j, 0, 0))
+            pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0))
             for _ in range(10)
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((nx, ny, P, 3), R.dtype) for _ in range(10)
+            jax.ShapeDtypeStruct((nx, ny, 3, P), R.dtype) for _ in range(10)
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], coff_fm, cw, g,
-      *[p for p in pos for _ in range(9)])
-    dRi, partials = outs[0], outs[1:]
-    dR = dRi
+      *[p for p in pieces for _ in range(9)], *pieces)
+    dRT, partials = outs[0], outs[1:]
     for (dx, dy), p in zip(COL_OFFSETS, partials):
-        dR = dR + jnp.roll(p, (dx, dy), axis=(0, 1))
-    return dR.reshape(A, 3)
+        dRT = dRT + jnp.roll(p, (dx, dy), axis=(0, 1))
+    return jnp.moveaxis(dRT, 2, 3).reshape(A, 3)
 
 
 # ------------------------------------------------------- public op + VJP
@@ -286,7 +306,7 @@ def column_geometry(R, coff_fm, refs, centers, widths, cutoff):
     cw = jnp.stack([
         jnp.asarray(centers, R.dtype),
         -0.5 / jnp.square(jnp.asarray(widths, R.dtype)),
-    ])
+    ], axis=1)                                                  # [B, 2]
     return _column_geometry_p(R, coff_fm, refs.qcol, refs.dcol, cw,
                               refs.P, refs.ksizes, float(cutoff))
 

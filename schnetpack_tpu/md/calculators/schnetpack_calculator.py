@@ -143,7 +143,71 @@ class SchNetPackCalculator(PairwiseMDCalculator):
             inputs.update(self._pair_inputs(system))
         return inputs
 
+    def _calculate_blocked_replicas(self, system: System, calc_state) -> System:
+        """Ring-polymer evaluation on the column fast path: one shared
+        (union-topology) layout, the model vmapped over the bead axis —
+        every bead's messages run through the same fused kernels (the
+        Pallas batching rule prepends the bead axis to the kernel grid)."""
+        inv = 1.0 / self.position_conversion
+        order = calc_state["cell_order"]
+        rank = calc_state["cell_rank"]
+        n_rep, M = system.n_replicas, system.n_molecules
+        Ap = order.shape[0]
+        dt = system.positions.dtype
+
+        base = {
+            structure.Z: calc_state["cell_Z"],
+            structure.idx_m: calc_state["cell_idx_m"],
+            structure.atom_mask: calc_state["cell_atom_mask"],
+            structure.n_atoms: system.n_atoms_per_mol,
+            structure.cell: system.cells[0] * inv,
+            structure.pbc: system.pbc,
+            structure.mol_mask: jnp.ones(M, dt),
+            structure.idx_i: jnp.zeros(1, jnp.int32),
+            structure.idx_j: jnp.zeros(1, jnp.int32),
+            structure.offsets: jnp.full((1, 3), 1e3, dt),
+            structure.pair_mask: jnp.zeros(1, dt),
+        }
+        for k in (structure.cell_qcol, structure.cell_dcol,
+                  structure.cell_emask, structure.cell_ksz):
+            base[k] = calc_state[k]
+        base[structure.cell_coff] = calc_state[structure.cell_coff] * inv
+        if structure.cell_coff_fm in calc_state:
+            base[structure.cell_coff_fm] = (
+                calc_state[structure.cell_coff_fm] * inv
+            )
+
+        R_beads = jnp.take(system.positions * inv, order, axis=1)  # [R,A',3]
+
+        def one(R_r):
+            b = dict(base)
+            b[structure.R] = R_r
+            return self.model.apply(self.params, b, do_postprocessing=False)
+
+        outputs = jax.vmap(one)(R_beads)
+        wanted = {self.force_key, self.energy_key, self.stress_key}
+        wanted.update(self.required_properties)
+        outputs = {
+            k: (jnp.take(v, rank, axis=1)
+                if hasattr(v, "ndim") and v.ndim >= 2 and v.shape[1] == Ap
+                else v)
+            for k, v in outputs.items() if k in wanted and v is not None
+        }
+        updates = {}
+        if self.force_key in outputs:
+            f = outputs[self.force_key] * self.force_conversion
+            updates["forces"] = f * system.atom_mask[None, :, None]
+        if self.energy_key is not None and self.energy_key in outputs:
+            updates["energy"] = (
+                outputs[self.energy_key].reshape(n_rep, M)
+                * self.energy_conversion
+            )
+        return system.replace(**updates)
+
     def calculate(self, system: System, calc_state=None) -> System:
+        if (calc_state is not None and "cell_rank" in calc_state
+                and system.n_replicas > 1):
+            return self._calculate_blocked_replicas(system, calc_state)
         inputs = self._model_inputs(system, calc_state)
         outputs = self.model.apply(self.params, inputs, do_postprocessing=False)
         if calc_state is not None and "cell_rank" in calc_state:

@@ -198,11 +198,17 @@ class CellBlockNeighborListMD:
     def build(self, system: System) -> None:
         from ..ops.cellblock import build_cell_layout, build_column_layout
 
-        if system.n_replicas != 1:
+        n_rep = system.n_replicas
+        if n_rep != 1 and self.layout_kind != "column":
             raise NotImplementedError(
-                "CellBlockNeighborListMD supports n_replicas == 1"
+                "the 27-cell layout supports n_replicas == 1; "
+                "use layout='column' for ring-polymer MD"
             )
-        R_np = np.asarray(jax.device_get(system.positions))[0]
+        R_all = np.asarray(jax.device_get(system.positions))   # [R, A, 3]
+        # column assignment and stencil constraints are evaluated on the
+        # bead centroid; the edge set is the UNION over beads (parity with
+        # the reference's per-replica merge, md/neighborlist_md.py:55-98)
+        R_np = R_all.mean(axis=0)
         cells = np.asarray(jax.device_get(system.cells))
         pbc = np.asarray(jax.device_get(system.pbc))
         if system.n_molecules != 1:
@@ -215,6 +221,18 @@ class CellBlockNeighborListMD:
         use_pbc = pbc[0] if pbc[0].any() else None
         use_cell = cell if np.abs(cell).sum() > 0 else None
         rc = self.cutoff + self.skin
+        union_edges = None
+        if n_rep > 1:
+            from ..transform.neighborlist import cell_list_neighbor_list
+
+            rows = []
+            for r in range(n_rep):
+                i, j, S = cell_list_neighbor_list(
+                    R_all[r], rc, use_cell, use_pbc
+                )
+                rows.append(np.column_stack([i, j, S]).astype(np.int64))
+            rows = np.unique(np.concatenate(rows), axis=0)
+            union_edges = (rows[:, 0], rows[:, 1], rows[:, 2:5])
 
         if self.layout_kind == "column":
             if self._dims is None:
@@ -225,7 +243,7 @@ class CellBlockNeighborListMD:
                 # are often lattices whose perfectly-aligned columns give
                 # pathologically small bucket occupancies.
                 lay0 = build_column_layout(
-                    R_np, rc, use_cell, use_pbc,
+                    R_np, rc, use_cell, use_pbc, edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
                 nx0, ny0, P0, ks0 = lay0.dims
@@ -249,12 +267,13 @@ class CellBlockNeighborListMD:
                 layout = build_column_layout(
                     R_np, rc, use_cell, use_pbc, capacity=self._C,
                     bucket_size=self._K, dims=self._dims,
+                    edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
             except ValueError:
                 # sticky shapes no longer fit — re-derive (recompiles)
                 layout = build_column_layout(
-                    R_np, rc, use_cell, use_pbc,
+                    R_np, rc, use_cell, use_pbc, edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
         else:

@@ -152,12 +152,13 @@ def _posT_pieces(R, nx, ny, P):
     return _split_f32(posT, POS_PIECES)
 
 
-def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc):
+def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
     nx, ny, Ktot = qcol.shape
     B = cw.shape[0]
     pieces = _posT_pieces(R, nx, ny, P)
     return pl.pallas_call(
-        functools.partial(_geo_fwd_kernel, P=P, B=B, ks=ks, rc=rc),
+        functools.partial(_geo_fwd_kernel, P=P, B=B, ks=ks, rc=rc,
+                          raw_phi=raw_phi),
         grid=(nx, ny),
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
@@ -183,24 +184,27 @@ def _bucket_pieces(args, c9):
     return out
 
 
-def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc):
+def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
+                    raw_phi):
     pos_args = args[: POS_PIECES * 9 + POS_PIECES]
     out_ref = args[POS_PIECES * 9 + POS_PIECES]
     offs = _koffs(ks)
     coff = coff_ref[0, 0]
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
-        (_, _, _, _, d, _, dirsT, fcutT, phi, _, _) = _recompute_geo(
+        (_, _, emaskT, _, d, _, dirsT, fcutT, phi, _, _) = _recompute_geo(
             q_ref, d_ref, coff, cw_ref, _bucket_pieces(pos_args, c9),
             o0, k, P, rc)
-        out_ref[0, 0, 0:B, o0:o0 + k] = phi * fcutT
+        out_ref[0, 0, 0:B, o0:o0 + k] = (
+            phi * emaskT if raw_phi else phi * fcutT
+        )
         out_ref[0, 0, B:B + 1, o0:o0 + k] = fcutT
         out_ref[0, 0, B + 1:B + 4, o0:o0 + k] = dirsT
 
 
 # ------------------------------------------------------------------ bwd
 def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, g_ref, *args,
-                    P, B, ks, rc):
+                    P, B, ks, rc, raw_phi):
     pos_args = args[: POS_PIECES * 9 + POS_PIECES]
     outs = args[POS_PIECES * 9 + POS_PIECES:]
     dRi_ref = outs[0]
@@ -221,10 +225,17 @@ def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, g_ref, *args,
         dphi_dd = 2.0 * coeff * diff * phi                      # [B, k]
         fp = -0.5 * (np.pi / rc) * jnp.sin(d * (np.pi / rc))
         dfcut_dd = jnp.where(d < rc, fp, 0.0) * emaskT          # [1, k]
-        gd = (
-            jnp.sum(gphi * dphi_dd, axis=0, keepdims=True) * fcutT
-            + (jnp.sum(gphi * phi, axis=0, keepdims=True) + gfc) * dfcut_dd
-        )
+        if raw_phi:
+            gd = (
+                jnp.sum(gphi * dphi_dd, axis=0, keepdims=True) * emaskT
+                + gfc * dfcut_dd
+            )
+        else:
+            gd = (
+                jnp.sum(gphi * dphi_dd, axis=0, keepdims=True) * fcutT
+                + (jnp.sum(gphi * phi, axis=0, keepdims=True) + gfc)
+                * dfcut_dd
+            )
         gdr = jnp.sum(gdir * rijT, axis=0, keepdims=True)
         grijT = (gdir * inv_d - rijT * (gdr * inv_d * inv_d * inv_d)
                  + gd * dirsT) * emaskT                         # [3, k]
@@ -234,13 +245,14 @@ def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, g_ref, *args,
     dRi_ref[0, 0] = acc_i
 
 
-def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc):
+def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
     nx, ny, Ktot = qcol.shape
     B = cw.shape[0]
     A = R.shape[0]
     pieces = _posT_pieces(R, nx, ny, P)
     outs = pl.pallas_call(
-        functools.partial(_geo_bwd_kernel, P=P, B=B, ks=ks, rc=rc),
+        functools.partial(_geo_bwd_kernel, P=P, B=B, ks=ks, rc=rc,
+                          raw_phi=raw_phi),
         grid=(nx, ny),
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
@@ -267,26 +279,27 @@ def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc):
 
 
 # ------------------------------------------------------- public op + VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc):
-    return _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
+    return _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
 
 
-def _cgeo_fwd(R, coff_fm, qcol, dcol, cw, P, ks, rc):
-    out = _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc)
+def _cgeo_fwd(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
+    out = _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
     return out, (R, coff_fm, qcol, dcol, cw)
 
 
-def _cgeo_bwd(P, ks, rc, res, g):
+def _cgeo_bwd(P, ks, rc, raw_phi, res, g):
     R, coff_fm, qcol, dcol, cw = res
-    dR = _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc)
+    dR = _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
     return dR, None, None, None, None
 
 
 _column_geometry_p.defvjp(_cgeo_fwd, _cgeo_bwd)
 
 
-def column_geometry(R, coff_fm, refs, centers, widths, cutoff):
+def column_geometry(R, coff_fm, refs, centers, widths, cutoff,
+                    raw_phi=False):
     """Fused per-edge geometry for the column layout.
 
     Args:
@@ -302,16 +315,19 @@ def column_geometry(R, coff_fm, refs, centers, widths, cutoff):
         [phi * fcut (B), fcut, dir (3)].
     """
     if not _cb._impl().startswith("pallas"):
-        return column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff)
+        return column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
+                                   raw_phi)
     cw = jnp.stack([
         jnp.asarray(centers, R.dtype),
         -0.5 / jnp.square(jnp.asarray(widths, R.dtype)),
     ], axis=1)                                                  # [B, 2]
     return _column_geometry_p(R, coff_fm, refs.qcol, refs.dcol, cw,
-                              refs.P, refs.ksizes, float(cutoff))
+                              refs.P, refs.ksizes, float(cutoff),
+                              bool(raw_phi))
 
 
-def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff):
+def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
+                        raw_phi=False):
     """XLA reference implementation (numerics oracle for the kernel)."""
     from .colblock import _column_expand_xla, _column_gather_xla
     from .math import safe_norm
@@ -328,6 +344,6 @@ def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff):
     fcut = jnp.where(d < cutoff, f, 0.0) * emask[..., 0]
     phi = gaussian_rbf(d, jnp.asarray(centers, R.dtype),
                        jnp.asarray(widths, R.dtype))
-    geo = jnp.concatenate([
-        phi * fcut[..., None], fcut[..., None], dirs], axis=-1)
+    ch0 = phi * emask if raw_phi else phi * fcut[..., None]
+    geo = jnp.concatenate([ch0, fcut[..., None], dirs], axis=-1)
     return jnp.moveaxis(geo, -1, 2)

@@ -45,14 +45,43 @@ class SchNetInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, x, f_ij, rcut_ij, idx_i=None, idx_j=None, nbh_idx=None,
-                 nbh_rev=None, nbh_mask=None):
+                 nbh_rev=None, nbh_mask=None, fused_ctx=None):
         A = x.shape[0]
-        # filter-generating network on the radial features
-        W = Dense(self.n_filters, activation=self.activation, name="filter_0")(f_ij)
-        W = Dense(self.n_filters, name="filter_1")(W)
-        W = W * rcut_ij[..., None]
+        # the filter Dense layers are declared without the fused activation
+        # (applied explicitly below — same math, same param tree) so the
+        # column-kernel path can extract their affine weights
+        f0 = Dense(self.n_filters, name="filter_0")
+        f1 = Dense(self.n_filters, name="filter_1")
+        in2f = Dense(self.n_filters, use_bias=False, name="in2f")
+        if fused_ctx is not None:
+            # column layout: gather + filter MLP + message + neighbor sum
+            # run as one fused kernel on raw-phi feature-major geometry
+            from ..ops.schnet_columns import schnet_cfconv_columns
 
-        h = Dense(self.n_filters, use_bias=False, name="in2f")(x)
+            geo, refs = fused_ctx
+            B = geo.shape[2] - 4
+            F = self.n_filters
+            b1 = f0(jnp.zeros((1, B), x.dtype))[0]
+            W1 = f0(jnp.eye(B, dtype=x.dtype)) - b1[None]
+            b2 = f1(jnp.zeros((1, F), x.dtype))[0]
+            W2 = f1(jnp.eye(F, dtype=x.dtype)) - b2[None]
+            h = in2f(x)
+            agg = schnet_cfconv_columns(h, geo, W1, b1, W2, b2, refs)
+        else:
+            # filter-generating network on the radial features
+            W = f1(self.activation(f0(f_ij)))
+            W = W * rcut_ij[..., None]
+
+            h = in2f(x)
+            agg = self._aggregate(h, W, idx_i, idx_j, nbh_idx, nbh_rev,
+                                  nbh_mask, A)
+
+        v = Dense(self.n_atom_basis, activation=self.activation, name="f2out_0")(agg)
+        v = Dense(self.n_atom_basis, name="f2out_1")(v)
+        return v
+
+    @staticmethod
+    def _aggregate(h, W, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask, A):
         if nbh_idx is not None:
             if nbh_rev is not None:
                 hj = neighbor_gather(h, nbh_idx, nbh_rev, nbh_mask)
@@ -63,10 +92,7 @@ class SchNetInteraction(nn.Module):
         else:
             m = jnp.take(h, idx_j, axis=0) * W             # [P, F]
             agg = segment_sum(m, idx_i, A)
-
-        v = Dense(self.n_atom_basis, activation=self.activation, name="f2out_0")(agg)
-        v = Dense(self.n_atom_basis, name="f2out_1")(v)
-        return v
+        return agg
 
 
 class SchNet(nn.Module):
@@ -94,7 +120,39 @@ class SchNet(nn.Module):
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
-        if dense:
+        fused_ctx = None
+        if properties.cell_qcol in inputs:
+            # column-bucketed layout (the TPU fast path): fused raw-phi
+            # geometry + fused cfconv kernels (ops/schnet_columns.py)
+            from ..ops.colblock import ColRefs
+            from ..ops.colblock_geo import column_geometry
+            from ..ops.radial import gaussian_rbf_params
+
+            if not (isinstance(radial, GaussianRBF) and not radial.trainable
+                    and isinstance(cutoff_fn, CosineCutoff)):
+                raise NotImplementedError(
+                    "the SchNet column path requires a non-trainable "
+                    "GaussianRBF and a CosineCutoff"
+                )
+            qc = inputs[properties.cell_qcol]
+            ksz = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
+            Pc = inputs[properties.R].shape[0] // (qc.shape[0] * qc.shape[1])
+            refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz)
+            if properties.cell_coff_fm in inputs:
+                coff_fm = inputs[properties.cell_coff_fm]
+            else:
+                coff_fm = jnp.moveaxis(
+                    inputs[properties.cell_coff]
+                    * inputs[properties.cell_emask][..., None], 3, 2)
+            centers, widths = gaussian_rbf_params(
+                radial.n_rbf, radial.cutoff, radial.start)
+            geo = column_geometry(
+                inputs[properties.R], coff_fm, refs, centers, widths,
+                cutoff_fn.cutoff, raw_phi=True)
+            fused_ctx = (geo, refs)
+            f_ij = rcut_ij = None
+            idx_i = idx_j = nbh_idx = nbh_rev = nbh_mask = None
+        elif dense:
             Rij = inputs[properties.nbh_rij]               # [A, K, 3]
             nbh_idx = inputs[properties.nbh_idx]
             nbh_rev = inputs.get(properties.nbh_rev)
@@ -109,7 +167,7 @@ class SchNet(nn.Module):
             nbh_idx = nbh_rev = nbh_mask = None
             d_ij = safe_norm(Rij, axis=-1)
             rcut_ij = cutoff_fn(d_ij) * inputs[properties.pair_mask]
-        f_ij = radial(d_ij)
+        f_ij = radial(d_ij) if fused_ctx is None else None
 
         if self.nuclear_embedding:
             x = NuclearEmbedding(self.n_atom_basis, max_z=self.max_z, name="embedding")(Z)
@@ -131,12 +189,14 @@ class SchNet(nn.Module):
                 self.n_atom_basis, n_filters, self.activation, name="interaction_shared"
             )
             for _ in range(self.n_interactions):
-                x = x + block(x, f_ij, rcut_ij, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask)
+                x = x + block(x, f_ij, rcut_ij, idx_i, idx_j, nbh_idx,
+                              nbh_rev, nbh_mask, fused_ctx)
         else:
             for t in range(self.n_interactions):
                 v = SchNetInteraction(
                     self.n_atom_basis, n_filters, self.activation, name=f"interaction_{t}"
-                )(x, f_ij, rcut_ij, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask)
+                )(x, f_ij, rcut_ij, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask,
+                  fused_ctx)
                 x = x + v
 
         inputs[properties.scalar_representation] = x

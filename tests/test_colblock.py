@@ -399,3 +399,58 @@ class TestFusedGeometry:
                 rtol=1e-4, atol=1e-4)
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces
+
+
+class TestReplicaColumnPath:
+    """Ring-polymer beads on the column fast path (union topology +
+    vmap over beads) must match the dense path."""
+
+    _build = TestMDParity._build
+
+    def _build_replicas(self, neighbor_list, pos, cell, n_rep):
+        from schnetpack_tpu.md import load_molecules
+
+        system, calc = self._build(neighbor_list, pos, cell)
+        mol = {
+            P.Z: np.full(len(pos), 18, np.int64), P.R: pos,
+            P.cell: cell, P.pbc: np.ones(3, bool),
+        }
+        system = load_molecules([mol], n_replicas=n_rep)
+        # spread the beads a little so per-bead forces differ
+        key = jax.random.PRNGKey(5)
+        system = system.replace(
+            positions=system.positions
+            + jax.random.normal(key, system.positions.shape) * 0.03
+        )
+        return system, calc
+
+    def test_rpmd_forces_match_dense(self):
+        rng = np.random.RandomState(17)
+        pos = rng.uniform(0, 9.0, size=(80, 3))
+        cell = np.eye(3) * 9.0
+        n_rep = 3
+
+        results = {}
+        for mode in ("dense", "cellblock"):
+            system, calc = self._build_replicas(mode, pos, cell, n_rep)
+            state = calc.init_state(system)
+            out = calc.calculate(system, state)
+            results[mode] = (np.asarray(out.forces), np.asarray(out.energy))
+
+        f_d, e_d = results["dense"]
+        f_c, e_c = results["cellblock"]
+        assert f_c.shape == (n_rep, 80, 3)
+        np.testing.assert_allclose(e_c, e_d, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(f_c, f_d, rtol=1e-4, atol=1e-5)
+
+    def test_rpmd_nve_runs_on_columns(self):
+        from schnetpack_tpu.md import Simulator, VelocityVerlet
+
+        rng = np.random.RandomState(19)
+        pos = (np.mgrid[0:3, 0:3, 0:3].reshape(3, -1).T * 3.0 + 1.0
+               + rng.uniform(-0.05, 0.05, (27, 3)))
+        cell = np.eye(3) * 9.0
+        system, calc = self._build_replicas("cellblock", pos, cell, 4)
+        sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False)
+        sim.simulate(10, chunk_size=5)
+        assert np.isfinite(np.asarray(sim.system.positions)).all()

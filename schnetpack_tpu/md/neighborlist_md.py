@@ -234,6 +234,13 @@ class CellBlockNeighborListMD:
             rows = np.unique(np.concatenate(rows), axis=0)
             union_edges = (rows[:, 0], rows[:, 1], rows[:, 2:5])
 
+        # fully-periodic boxes wider than 2*rc admit the alias-free
+        # stencil the on-device rebuild needs — steer the autotune to it
+        min_grid = 1
+        if use_cell is not None and pbc[0].all():
+            inv_c = np.linalg.inv(np.asarray(cell, np.float64))
+            if np.all(1.0 / np.linalg.norm(inv_c, axis=1) > 2 * rc):
+                min_grid = 3
         if self.layout_kind == "column":
             if self._dims is None:
                 # First build: probe capacities on a skin-jittered copy of
@@ -245,6 +252,7 @@ class CellBlockNeighborListMD:
                 lay0 = build_column_layout(
                     R_np, rc, use_cell, use_pbc, edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
+                    min_grid=min_grid,
                 )
                 nx0, ny0, P0, ks0 = lay0.dims
                 jit = R_np + np.random.RandomState(0).uniform(
@@ -335,9 +343,27 @@ class CellBlockNeighborListMD:
         self._state = nbl_state
         self._build_positions = np.asarray(jax.device_get(system.positions)).copy()
         self._build_positions_dev = system.positions
+        # ---- on-device rebuild eligibility (column layout only) ------
+        self._host_build_positions_dev = system.positions
+        self._dev_rebuild = None
+        if self.layout_kind == "column":
+            nx, ny, _ = self._dims
+            heights = None
+            if use_cell is not None and pbc[0].all():
+                inv = np.linalg.inv(np.asarray(cell, np.float64))
+                heights = 1.0 / np.linalg.norm(inv, axis=1)
+            if (heights is not None and nx >= 3 and ny >= 3
+                    and np.all(heights > 2 * rc)
+                    and system.n_molecules == 1):
+                self._dev_rebuild = {
+                    "cell": jnp.asarray(cell, dtype),
+                    "nx": nx, "ny": ny, "P": self._C,
+                    "ks": tuple(self._K), "rc": rc,
+                }
 
     def displacement2(self, system: System):
-        """Device-scalar max squared displacement since the last build."""
+        """Device-scalar max squared displacement since the last rebuild
+        (fetched with the chunk logs in one round trip)."""
         if self._build_positions_dev is None:
             return None
         return _disp2(system.positions, self._build_positions_dev)
@@ -346,13 +372,49 @@ class CellBlockNeighborListMD:
         if self._state is None:
             self.build(system)
             return True
+        if isinstance(disp2, dict):
+            disp2 = disp2["disp2"]
         if disp2 is None:
             R_np = np.asarray(jax.device_get(system.positions))
             disp2 = np.max(np.sum((R_np - self._build_positions) ** 2, axis=-1))
-        if disp2 > (self.skin / 2.0) ** 2:
-            self.build(system)
+        if disp2 <= (self.skin / 2.0) ** 2:
+            return False
+        if self._dev_rebuild is not None and self._rebuild_on_device(system):
             return True
-        return False
+        self.build(system)
+        return True
+
+    def _rebuild_on_device(self, system: System) -> bool:
+        """jit re-bin + rebuild of the whole sorted-space state on device;
+        no position ever crosses to the host (only a scalar overflow
+        flag).  Falls back to the host builder on capacity overflow."""
+        from ..ops.colblock_rebuild import rebin_and_rebuild
+
+        info = self._dev_rebuild
+        st = self._state
+        new, ovf = rebin_and_rebuild(
+            system.positions, st["cell_order"], st["cell_atom_mask"],
+            st["cell_Z"], st["cell_idx_m"], info["cell"],
+            nx=info["nx"], ny=info["ny"], P=info["P"],
+            ksizes=info["ks"], rc=info["rc"],
+        )
+        if bool(jax.device_get(ovf)):
+            return False                       # capacity overflow: host path
+        dtype = system.positions.dtype
+        st = dict(st)
+        st[structure.cell_qcol] = new["qcol"]
+        st[structure.cell_dcol] = new["dcol"]
+        st[structure.cell_coff] = new["coff"].astype(dtype)
+        st[structure.cell_coff_fm] = new["coff_fm"].astype(dtype)
+        st[structure.cell_emask] = new["emask"].astype(dtype)
+        st["cell_order"] = new["order"]
+        st["cell_rank"] = new["rank"]
+        st["cell_Z"] = new["Z"]
+        st["cell_idx_m"] = new["idx_m"]
+        st["cell_atom_mask"] = new["atom_mask"].astype(dtype)
+        self._state = st
+        self._build_positions_dev = system.positions
+        return True
 
     def state(self) -> Dict[str, jax.Array]:
         return self._state

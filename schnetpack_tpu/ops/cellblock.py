@@ -481,6 +481,7 @@ def build_column_layout(
     capacity_headroom: int = 1,
     dims: Optional[Tuple[int, int, int]] = None,
     edges: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
+    min_grid: int = 1,
 ) -> ColumnLayout:
     """Bin atoms cell-major and bucket edges by (destination column, c9).
 
@@ -542,18 +543,28 @@ def build_column_layout(
         # autotune the xy grid: padded kernel cost ~ columns*Ktot*P
         # (selection dots over real+padded edge rows at depth P), plus a
         # small weight on total atom slots (atomwise table ops)
-        best, best_cost = None, None
-        for g in range(int(max(n_max[0], n_max[1])), 0, -1):
-            cand = np.minimum(n_max, [g, g, 1])
-            st = _grid_stats(cand)
-            if st is None:
-                continue
-            P_c, _, Ktot_c = st
-            ncol = int(cand[0]) * int(cand[1])
-            cost = ncol * Ktot_c * P_c + 50 * ncol * P_c
-            if best_cost is None or cost < best_cost * 0.98:
-                best, best_cost = cand, cost
-            if ncol == 1:
+        # min_grid: callers that rebuild the edge state on device need an
+        # alias-free stencil (nx, ny >= 3); only enforced when admissible —
+        # the unconstrained pass is the fallback when no such grid exists
+        lo = min_grid if n_max[0] >= min_grid and n_max[1] >= min_grid else 1
+        best = None
+        for floor_g in dict.fromkeys((lo, 1)):
+            best_cost = None
+            for g in range(int(max(n_max[0], n_max[1])), 0, -1):
+                cand = np.minimum(n_max, [g, g, 1])
+                if cand[0] < floor_g or cand[1] < floor_g:
+                    continue
+                st = _grid_stats(cand)
+                if st is None:
+                    continue
+                P_c, _, Ktot_c = st
+                ncol = int(cand[0]) * int(cand[1])
+                cost = ncol * Ktot_c * P_c + 50 * ncol * P_c
+                if best_cost is None or cost < best_cost * 0.98:
+                    best, best_cost = cand, cost
+                if ncol == 1:
+                    break
+            if best is not None:
                 break
         n = best
     n = np.array([int(n[0]), int(n[1]), 1], np.int64)

@@ -32,6 +32,27 @@ from .cellblock_pallas import COL_OFFSETS, _split_f32
 HI = jax.lax.Precision.HIGHEST
 
 
+def _w_precision(pieces: int):
+    """Precision of the in-kernel filter matmuls (rbf @ FW and its
+    transposes).  In the bf16 single-piece mode the feature data is
+    already bf16, so burning 6 MXU passes on an exact-f32 filter matmul
+    is wasted work — one bf16 pass matches the data precision."""
+    return jax.lax.Precision.DEFAULT if pieces == 1 else HI
+
+
+# Resident-table kernels: with a constant-index block spec the whole
+# feature table is DMA'd into VMEM once per kernel launch and every grid
+# step slices its 9 source columns out of the resident copy — instead of
+# re-fetching 9 windowed views per destination column (a 9x HBM traffic
+# amplification, ~0.2-0.5 ms per kernel pass at MD scales).  Only used
+# when everything fits under this VMEM budget.
+RESIDENT_BUDGET_BYTES = 72 * 1024 * 1024
+
+
+def _resident_ok(*arrays_bytes):
+    return sum(arrays_bytes) <= RESIDENT_BUDGET_BYTES
+
+
 def _interp():
     return _cb._impl() == "pallas_interpret"
 
@@ -525,6 +546,24 @@ def painn_message_columns_pallas(xmu, rbf_aug, dir_e, FW_aug, refs):
 # resident [24, Ktot] block once per grid step (VPU shuffle, ~200 KB) and
 # slices buckets along sublanes.
 
+def _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec):
+    """Shared per-bucket message math: [k, 6F] sources -> [k, 4F] messages."""
+    xj = xmu_j[:, : 3 * F]
+    W = jax.lax.dot_general(
+        rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=wprec,
+    )
+    xjW = xj * W
+    dqe = xjW[:, :F]
+    dmuR = xjW[:, F:2 * F]
+    dmumu = xjW[:, 2 * F:]
+    parts = [dqe]
+    for x in range(3):
+        mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+        parts.append(dmuR * dirs[:, x:x + 1] + dmumu * mujx)
+    return jnp.concatenate(parts, axis=-1)             # [k, 4F]
+
+
 def _msg_fm_fwd_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
                        P, F, B1, ks, pieces):
     cols = args[:9 * pieces]
@@ -532,26 +571,14 @@ def _msg_fm_fwd_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
     offs = _koffs(ks)
     geo = geo_ref[0, 0].T                              # [Ktot, B1+3]
     acc = None
+    wprec = _w_precision(pieces)
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
         ohj = _oh(q_ref, o0, k, P)
         xmu_j = _gather_bucket(cols, ohj, c9, pieces)  # [k, 6F]
-        xj = xmu_j[:, : 3 * F]
         rbf = geo[o0:o0 + k, :B1]
         dirs = geo[o0:o0 + k, B1:B1 + 3]
-        W = jax.lax.dot_general(
-            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=HI,
-        )
-        xjW = xj * W
-        dqe = xjW[:, :F]
-        dmuR = xjW[:, F:2 * F]
-        dmumu = xjW[:, 2 * F:]
-        parts = [dqe]
-        for x in range(3):
-            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
-            parts.append(dmuR * dirs[:, x:x + 1] + dmumu * mujx)
-        msg = jnp.concatenate(parts, axis=-1)          # [k, 4F]
+        msg = _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec)
         ohd = _oh(d_ref, o0, k, P)
         for piece in _split_f32(msg, pieces):
             d = jax.lax.dot_general(
@@ -563,11 +590,76 @@ def _msg_fm_fwd_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
     dmu_ref[0, 0] = acc[:, F:]
 
 
+def _msg_fm_fwd_res_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
+                           nx, ny, P, F, B1, ks, pieces):
+    """Resident-table forward: the whole (bf16-piece) feature table sits
+    in VMEM; each grid step slices its 9 source columns from it."""
+    cols = args[:pieces]                               # [nx, ny, P, 6F]
+    dq_ref, dmu_ref = args[pieces:]
+    offs = _koffs(ks)
+    geo = geo_ref[0, 0].T
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    acc = None
+    wprec = _w_precision(pieces)
+    for c9, (di, dj) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i + di + nx, nx)
+        yj = jax.lax.rem(j + dj + ny, ny)
+        ohj = _oh(q_ref, o0, k, P)
+        xmu_j = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xmu_j = d if xmu_j is None else xmu_j + d
+        rbf = geo[o0:o0 + k, :B1]
+        dirs = geo[o0:o0 + k, B1:B1 + 3]
+        msg = _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec)
+        ohd = _oh(d_ref, o0, k, P)
+        for piece in _split_f32(msg, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+    dq_ref[0, 0] = acc[:, :F]
+    dmu_ref[0, 0] = acc[:, F:]
+
+
 def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, D6 = xmu.shape
     F = D6 // 6
     B1 = geo.shape[2] - 3
+    if _resident_ok(A * D6 * 2 * pieces):
+        tables = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+        dq, dmu = pl.pallas_call(
+            functools.partial(_msg_fm_fwd_res_kernel, nx=nx, ny=ny, P=P,
+                              F=F, B1=B1, ks=ks, pieces=pieces),
+            grid=(nx, ny),
+            in_specs=[
+                pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            ] + [
+                pl.BlockSpec((nx, ny, P, D6), lambda i, j: (0, 0, 0, 0))
+                for _ in range(pieces)
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nx, ny, P, F), xmu.dtype),
+                jax.ShapeDtypeStruct((nx, ny, P, 3 * F), xmu.dtype),
+            ),
+            compiler_params=_vmem_params(),
+            interpret=_interp(),
+        )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug, *tables)
+        return dq.reshape(A, F), dmu.reshape(A, 3 * F)
     halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
     dq, dmu = pl.pallas_call(
         functools.partial(_msg_fm_fwd_kernel, P=P, F=F, B1=B1, ks=ks,
@@ -685,12 +777,175 @@ def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
     dxmu_ref[0, 0] = acc_dx
 
 
+def _oh_vec(v, depth):
+    """One-hot [k, depth] (bf16) from a raw lane vector of row indices."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (v.shape[0], depth), 1)
+    return (v[:, None] == iota).astype(jnp.bfloat16)
+
+
+def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref,
+                               gmu_ref, *args, nx, ny, P, F, B1, ks,
+                               pieces):
+    """Resident-table source-centric backward: geo / gq / gmu / qcol /
+    dcol sit whole in VMEM; each grid step slices bucket c9 of the 9
+    DESTINATION columns out of the resident copies (the edges whose
+    source lives in its own column)."""
+    cols = args[:pieces]                       # own xmu column views
+    outs = args[pieces:]
+    dxmu_ref = outs[0]
+    ggeo_refs = outs[1:10]
+    gFW_ref = outs[10]
+    offs = _koffs(ks)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wprec = _w_precision(pieces)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+
+    acc_dx = None
+    for c9, (dx, dy) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i - dx + nx, nx)
+        yj = jax.lax.rem(j - dy + ny, ny)
+        qv = q_ref[xi, yj, 0, o0:o0 + k]
+        dv = d_ref[xi, yj, 0, o0:o0 + k]
+        ohj = _oh_vec(qv, P)
+        ohd = _oh_vec(dv, P)
+        geoT = geo_ref[xi, yj, :, o0:o0 + k].T             # [k, B1+3]
+        rbf = geoT[:, :B1]
+        dirs = geoT[:, B1:B1 + 3]
+        # recompute forward intermediates (sources are in MY column)
+        xmu_j = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            xmu_j = d if xmu_j is None else xmu_j + d
+        xj = xmu_j[:, : 3 * F]
+        W = jax.lax.dot_general(
+            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        xjW = xj * W
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        gcat = jnp.concatenate([gq_ref[xi, yj], gmu_ref[xi, yj]], axis=-1)
+        gmsg = None
+        for piece in _split_f32(gcat, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gmsg = d if gmsg is None else gmsg + d         # [k, 4F]
+        gqe = gmsg[:, :F]
+        gdmuR = None
+        gdmumu = None
+        gdir_parts = []
+        gmuj_parts = []
+        for x in range(3):
+            gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
+            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            t = gmux * dirs[:, x:x + 1]
+            gdmuR = t if gdmuR is None else gdmuR + t
+            t2 = gmux * mujx
+            gdmumu = t2 if gdmumu is None else gdmumu + t2
+            gmuj_parts.append(gmux * dmumu)
+            gdir_parts.append(jnp.sum(gmux * dmuR, axis=-1, keepdims=True))
+        gxjW = jnp.concatenate([gqe, gdmuR, gdmumu], axis=-1)
+        gxj = gxjW * W
+        gW = gxjW * xj
+        grbf = jax.lax.dot_general(
+            gW, FW_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        ggeo_refs[c9][0, 0] = jnp.concatenate(
+            [grbf] + gdir_parts, axis=-1).T               # [B1+3, k]
+        gFW_ref[...] += jax.lax.dot_general(
+            rbf, gW, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        gxmu_e = jnp.concatenate([gxj] + gmuj_parts, axis=-1)
+        for piece in _split_f32(gxmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dx = d if acc_dx is None else acc_dx + d  # [P, 6F]
+    dxmu_ref[0, 0] = acc_dx
+
+
+def _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
+    g_dq, g_dmu = cots
+    nx, ny, Ktot = qcol.shape
+    A, D6 = xmu.shape
+    F = D6 // 6
+    B1 = geo.shape[2] - 3
+    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    gq5 = g_dq.reshape(nx, ny, P, F)
+    gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
+
+    def resident(shape4):
+        return pl.BlockSpec(shape4, lambda i, j: (0, 0, 0, 0))
+
+    outs = pl.pallas_call(
+        functools.partial(_msg_fm_bwd_src_res_kernel, nx=nx, ny=ny, P=P,
+                          F=F, B1=B1, ks=ks, pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            resident((nx, ny, 1, Ktot)),           # qcol
+            resident((nx, ny, 1, Ktot)),           # dcol
+            resident((nx, ny, B1 + 3, Ktot)),      # geo
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            resident((nx, ny, P, F)),              # g_dq
+            resident((nx, ny, P, 3 * F)),          # g_dmu
+        ] + [pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
+             for _ in range(pieces)],              # own xmu column pieces
+        out_specs=(
+            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0)),
+        ) + tuple(
+            pl.BlockSpec((1, 1, B1 + 3, k), lambda i, j: (i, j, 0, 0))
+            for k in ks
+        ) + (
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, D6), xmu.dtype),
+        ) + tuple(
+            jax.ShapeDtypeStruct((nx, ny, B1 + 3, k), xmu.dtype)
+            for k in ks
+        ) + (
+            jax.ShapeDtypeStruct((B1, 3 * F), xmu.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug, gq5, gmu5,
+      *halos)
+    dxmu = outs[0]
+    ggeo_parts = outs[1:10]
+    gFW = outs[10]
+    idx = 0
+    shifted = []
+    for dx in (-1, 0, 1):
+        for dy in (-1, 0, 1):
+            shifted.append(
+                jnp.roll(ggeo_parts[idx], (-dx, -dy), axis=(0, 1)))
+            idx += 1
+    ggeo = jnp.concatenate(shifted, axis=3)
+    return dxmu.reshape(A, D6), ggeo, gFW
+
+
 def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     g_dq, g_dmu = cots
     nx, ny, Ktot = qcol.shape
     A, D6 = xmu.shape
     F = D6 // 6
     B1 = geo.shape[2] - 3
+    if _resident_ok(geo.size * 4, A * 4 * F * 4, 2 * qcol.size * 4):
+        return _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots,
+                                    P, ks, pieces)
     halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
     gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)

@@ -1,0 +1,161 @@
+"""On-device column neighbor-state rebuild vs the host builder."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from schnetpack_tpu import properties as P
+from schnetpack_tpu.ops.cellblock import build_column_layout
+from schnetpack_tpu.ops.colblock_rebuild import rebuild_column_state
+
+
+def _edge_set(qcol, dcol, coff, emask, nx, ny, P_cap, ksizes):
+    """Canonical set of (i_global, j_global, rounded offset) triples."""
+    from schnetpack_tpu.ops.colblock import ColRefs, _decode_i, _decode_j
+
+    refs = ColRefs(jnp.asarray(qcol), jnp.asarray(dcol), P_cap,
+                   tuple(ksizes))
+    j, vj = _decode_j(refs)
+    i, vi = _decode_i(refs)
+    m = np.asarray(emask) > 0
+    assert (np.asarray(vj) == m).all() and (np.asarray(vi) == m).all()
+    return set(
+        (int(a), int(b), *np.round(np.asarray(o), 4))
+        for a, b, o in zip(np.asarray(i)[m], np.asarray(j)[m],
+                           np.asarray(coff)[m])
+    )
+
+
+def test_device_rebuild_matches_host():
+    rng = np.random.RandomState(0)
+    L = 14.0
+    n = 220
+    R0 = rng.uniform(0, L, size=(n, 3))
+    cell = np.eye(3) * L
+    rc = 3.5
+    lay = build_column_layout(R0, rc, cell, np.ones(3, bool),
+                              capacity_headroom=4)
+    nx, ny, Pc, ks = lay.dims
+    assert nx >= 3 and ny >= 3
+    # pad bucket capacities so the perturbed state fits
+    ks2 = tuple(k + 64 for k in ks)
+    lay = build_column_layout(R0, rc, cell, np.ones(3, bool),
+                              capacity=Pc, bucket_size=ks2,
+                              dims=(nx, ny, 1))
+
+    # perturb (below the stencil slack) and rebuild both ways
+    R1 = R0 + rng.uniform(-0.15, 0.15, R0.shape)
+    lay1 = build_column_layout(
+        R1[lay.order][np.argsort(lay.rank)] if False else R1,
+        rc, cell, np.ones(3, bool), capacity=Pc, bucket_size=ks2,
+        dims=(nx, ny, 1),
+    )
+    # host rebuild re-bins atoms; to compare the EDGE SETS we need both
+    # sides in the same atom labels -> map sorted slots back to original
+    host_edges = set()
+    m = lay1.emask > 0
+    for a, b, o in zip(lay1.icol[m], lay1.jcol[m], lay1.offcol[m]):
+        host_edges.add((int(lay1.order[a]), int(lay1.order[b]),
+                        *np.round(o, 4)))
+
+    # device rebuild keeps the ORIGINAL binning (lay, built from R0)
+    R1_sorted = jnp.asarray(R1[lay.order], jnp.float32) * jnp.asarray(
+        lay.slot_mask, jnp.float32)[:, None]
+    state, ovf = rebuild_column_state(
+        R1_sorted[None], jnp.asarray(lay.slot_mask),
+        jnp.asarray(cell, jnp.float32),
+        nx=nx, ny=ny, P=Pc, ksizes=ks2, rc=rc,
+    )
+    assert not bool(ovf)
+    dev = _edge_set(state["qcol"], state["dcol"], state["coff"],
+                    state["emask"], nx, ny, Pc, ks2)
+    dev_edges = set(
+        (int(lay.order[a]), int(lay.order[b]), ox, oy, oz)
+        for a, b, ox, oy, oz in dev
+    )
+    assert dev_edges == host_edges
+
+
+def test_device_rebuild_union_over_beads():
+    rng = np.random.RandomState(1)
+    L = 12.0
+    n = 150
+    R0 = rng.uniform(0, L, size=(n, 3))
+    cell = np.eye(3) * L
+    rc = 3.2
+    lay = build_column_layout(R0, rc, cell, np.ones(3, bool),
+                              capacity_headroom=4, dims=(3, 3, 1))
+    nx, ny, Pc, ks = lay.dims
+    ks2 = tuple(k + 64 for k in ks)
+    beads = np.stack([R0 + rng.normal(0, 0.05, R0.shape) for _ in range(4)])
+    Rb = jnp.asarray(beads[:, lay.order], jnp.float32) * jnp.asarray(
+        lay.slot_mask, jnp.float32)[None, :, None]
+    state, ovf = rebuild_column_state(
+        Rb, jnp.asarray(lay.slot_mask), jnp.asarray(cell, jnp.float32),
+        nx=nx, ny=ny, P=Pc, ksizes=ks2, rc=rc,
+    )
+    assert not bool(ovf)
+    # every per-bead edge must be present in the union
+    got = _edge_set(state["qcol"], state["dcol"], state["coff"],
+                    state["emask"], nx, ny, Pc, ks2)
+    got_pairs = {(a, b) for a, b, *_ in got}
+    from schnetpack_tpu.transform.neighborlist import neighbor_list
+    for r in range(4):
+        ii, jj, S = neighbor_list(beads[r], rc, cell, np.ones(3, bool))
+        for a, b in zip(ii, jj):
+            ra, rb = int(lay.rank[a]), int(lay.rank[b])
+            assert (ra, rb) in got_pairs
+
+
+def test_md_loop_rebuilds_without_host(monkeypatch):
+    """NVT run hot enough to trigger rebuilds: after the first build, the
+    host builder is forbidden — all rebuilds must happen on device."""
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.md import (
+        MaxwellBoltzmannInit, Simulator, VelocityVerlet, load_molecules,
+    )
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
+    from schnetpack_tpu.md.neighborlist_md import CellBlockNeighborListMD
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    cutoff = 3.0
+    rng = np.random.RandomState(7)
+    pos = (np.mgrid[0:4, 0:4, 0:4].reshape(3, -1).T * 3.2 + 1.0
+           + rng.uniform(-0.05, 0.05, (64, 3)))
+    cell = np.eye(3) * 12.8
+    mol = {P.Z: np.full(64, 18, np.int64), P.R: pos, P.cell: cell,
+           P.pbc: np.ones(3, bool)}
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                             cutoff=cutoff),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy), Forces()],
+    )
+    probe = NeighborListTransform(cutoff)(
+        {P.Z: mol[P.Z][:16], P.R: mol[P.R][:16], P.cell: np.zeros((3, 3)),
+         P.pbc: np.zeros(3, bool)})
+    params = pot.init(jax.random.PRNGKey(0),
+                      collate([probe], PaddingSpec(24, 512, 2)))
+    system = load_molecules([mol])
+    system = MaxwellBoltzmannInit(600.0).initialize_system(
+        system, jax.random.PRNGKey(3))
+    calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                cutoff_shell=0.4,
+                                neighbor_list="cellblock")
+    sim = Simulator(system, VelocityVerlet(1.0), calc, progress=False,
+                    log_keys=("temperature",))
+    sim.simulate(10, chunk_size=10)   # first chunk may host-build lazily
+
+    nbl = calc.dense_nbl
+    assert nbl._dev_rebuild is not None, "device rebuild not eligible"
+    ref0 = nbl._build_positions_dev
+
+    def forbidden(self, system):
+        raise AssertionError("host rebuild after init is forbidden")
+
+    monkeypatch.setattr(CellBlockNeighborListMD, "build", forbidden)
+    sim.simulate(120, chunk_size=12)
+    assert nbl._build_positions_dev is not ref0, "no rebuild ever triggered"
+    assert np.isfinite(np.asarray(sim.system.positions)).all()

@@ -86,6 +86,9 @@ def main():
     # rebuild probe keeps chunk boundaries to one scalar fetch.
     chunk = 300
     sim.simulate(chunk, chunk_size=chunk)
+    # compile the on-device rebuild path outside the timed region (it
+    # fires at most once per few hundred steps inside it)
+    calc.dense_nbl._rebuild_on_device(sim.state.system)
     n_steps = 2 * chunk
     t0 = time.time()
     sim.simulate(n_steps, chunk_size=chunk)

@@ -146,7 +146,26 @@ class EnergyEwald(nn.Module):
         # ---- real space -------------------------------------------------
         if properties.nbh_rij in inputs and properties.idx_i_lr not in inputs:
             # dense MD layout: [A, K] neighbor matrix (the flat pair list
-            # carries no real pairs in this mode)
+            # carries no real pairs in this mode).  The real-space sum is
+            # then truncated at the NBL build cutoff — refuse silently
+            # losing erfc tail terms when a larger screening cutoff was
+            # requested (cf. use_long_range semantics, reference
+            # electrostatic.py).
+            if (self.screening_cutoff is not None
+                    and properties.nbh_cutoff in inputs
+                    and not isinstance(inputs[properties.nbh_cutoff],
+                                       jax.core.Tracer)):
+                import warnings
+
+                nbl_rc = float(inputs[properties.nbh_cutoff])
+                if self.screening_cutoff > nbl_rc + 1e-6:
+                    warnings.warn(
+                        f"EnergyEwald: screening_cutoff "
+                        f"{self.screening_cutoff} exceeds the dense "
+                        f"neighbor matrix build cutoff {nbl_rc}; real-space "
+                        "erfc tail terms beyond the NBL cutoff are lost. "
+                        "Increase the MD cutoff_shell or use the flat "
+                        "long-range pair list.", stacklevel=2)
             Rij_d = inputs[properties.nbh_rij]
             nbh = inputs[properties.nbh_idx]
             nmask = inputs[properties.nbh_mask]

@@ -386,6 +386,164 @@ def import_so3net(path: str, energy_key: str = "energy",
     return pot, params, info
 
 
+def import_field_schnet(path: str, energy_key: str = "energy",
+                        calc_forces: bool = True, activation=None,
+                        response_properties=None):
+    """(model, params) from a reference-trained FieldSchNet potential.
+
+    Maps the representation (reference representation/field_schnet.py:
+    19-247 module tree: interactions, field_interaction,
+    dipole_interaction, dipole_update, initial_dipole_update,
+    nmm_embedding) and the Atomwise head.  External fields are discovered
+    from the state-dict keys.
+    """
+    import jax
+    import jax.numpy as jnp
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    from .. import properties as P
+    from ..atomistic import Atomwise, Forces, PairwiseDistances
+    from ..data.loader import PaddingSpec, collate
+    from ..model import NeuralNetworkPotential
+    from ..ops.activations import shifted_softplus
+    from ..representation import FieldSchNet
+    from ..transform import AddOffsets
+    from ..transform.neighborlist import NeighborListTransform
+
+    sd, info = load_torch_model(path)
+    if info["representation"] != "FieldSchNet":
+        raise ValueError(f"not a FieldSchNet model: {info['representation']}")
+    F = info["n_atom_basis"]
+    n_int = info["n_interactions"]
+    fields = sorted({
+        k.split(".")[3]
+        for k in sd
+        if k.startswith("representation.initial_dipole_update.transform.")
+        and k.endswith(".weight")
+    } | {
+        k.split(".")[4]
+        for k in sd
+        if k.startswith("representation.dipole_update.")
+        and ".transform." in k and k.endswith(".weight")
+    })
+    # ModuleDict iteration order == insertion order == external_fields
+    # list order in the reference; sd key sets do not preserve it, but the
+    # per-field weights are keyed by name so order only affects summation
+    # order (commutative).
+
+    postprocessors = []
+    if info["atomref"] is not None:
+        atomref = np.zeros(101)
+        atomref[: len(info["atomref"])] = info["atomref"]
+        postprocessors.append(
+            AddOffsets(energy_key, add_mean=info["mean"] is not None,
+                       add_atomrefs=True, atomrefs=atomref,
+                       property_mean=float(info["mean"]) if info["mean"] is not None else None)
+        )
+
+    pot = NeuralNetworkPotential(
+        representation=FieldSchNet(
+            n_atom_basis=F, n_interactions=n_int, n_rbf=info["n_rbf"],
+            cutoff=info["cutoff"], max_z=info["max_z"],
+            external_fields=tuple(fields),
+            response_properties=response_properties,
+            activation=activation or shifted_softplus,
+        ),
+        input_modules=[PairwiseDistances()],
+        output_modules=[
+            Atomwise(output_key=energy_key, activation=jax.nn.silu),
+            *([Forces(energy_key=energy_key)] if calc_forces else []),
+        ],
+        postprocessors=postprocessors,
+    )
+    probe = {
+        P.Z: np.array([6, 1]), P.R: np.array([[0.0, 0, 0], [1.0, 0, 0]]),
+        P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool),
+    }
+    probe = NeighborListTransform(info["cutoff"])(probe)
+    batch = collate([probe], PaddingSpec(8, 16, 2))
+    for f in fields:
+        batch[f] = np.zeros((2, 3), np.float32)
+    params = pot.init(jax.random.PRNGKey(0), batch)
+    flat = flatten_dict(params["params"])
+    rep = ("representation",)
+    _set(flat, rep + ("embedding", "embedding"),
+         sd["representation.embedding.weight"])
+
+    def tag(f):
+        return f.strip("_")
+
+    for f in fields:
+        _set(flat, rep + ("initial_dipole_update", f"transform_{tag(f)}",
+                          "linear", "kernel"),
+             sd[f"representation.initial_dipole_update.transform.{f}.weight"],
+             transpose=True)
+    if "representation.nmm_embedding.gyromagnetic_ratio.weight" in sd:
+        g = sd["representation.nmm_embedding.gyromagnetic_ratio.weight"]
+        tgt = flat[rep + ("nmm_embedding", "gyromagnetic", "embedding")]
+        gg = np.zeros_like(np.asarray(tgt))
+        gg[: len(g)] = g
+        flat[rep + ("nmm_embedding", "gyromagnetic", "embedding")] = gg
+        _set(flat, rep + ("nmm_embedding", "delta", "linear", "kernel"),
+             sd["representation.nmm_embedding.vector_mapping.weight"],
+             transpose=True)
+    for t in range(n_int):
+        b = f"representation.interactions.{t}"
+        _set(flat, rep + (f"interaction_{t}", "filter_0", "linear", "kernel"),
+             sd[f"{b}.filter_network.0.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "filter_0", "linear", "bias"),
+             sd[f"{b}.filter_network.0.bias"])
+        _set(flat, rep + (f"interaction_{t}", "filter_1", "linear", "kernel"),
+             sd[f"{b}.filter_network.1.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "filter_1", "linear", "bias"),
+             sd[f"{b}.filter_network.1.bias"])
+        _set(flat, rep + (f"interaction_{t}", "in2f", "linear", "kernel"),
+             sd[f"{b}.in2f.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "f2out_0", "linear", "kernel"),
+             sd[f"{b}.f2out.0.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "f2out_0", "linear", "bias"),
+             sd[f"{b}.f2out.0.bias"])
+        _set(flat, rep + (f"interaction_{t}", "f2out_1", "linear", "kernel"),
+             sd[f"{b}.f2out.1.weight"], transpose=True)
+        _set(flat, rep + (f"interaction_{t}", "f2out_1", "linear", "bias"),
+             sd[f"{b}.f2out.1.bias"])
+        for f in fields:
+            tg = tag(f)
+            fb = f"representation.field_interaction.{t}.f2out.{f}"
+            _set(flat, rep + (f"field_inter_{t}", f"f2out_{tg}", "linear",
+                              "kernel"), sd[f"{fb}.weight"], transpose=True)
+            _set(flat, rep + (f"field_inter_{t}", f"f2out_{tg}", "linear",
+                              "bias"), sd[f"{fb}.bias"])
+            db = f"representation.dipole_interaction.{t}"
+            _set(flat, rep + (f"dipole_inter_{t}", f"filter_{tg}_0",
+                              "linear", "kernel"),
+                 sd[f"{db}.filter_network.{f}.0.weight"], transpose=True)
+            _set(flat, rep + (f"dipole_inter_{t}", f"filter_{tg}_0",
+                              "linear", "bias"),
+                 sd[f"{db}.filter_network.{f}.0.bias"])
+            _set(flat, rep + (f"dipole_inter_{t}", f"filter_{tg}_1",
+                              "linear", "kernel"),
+                 sd[f"{db}.filter_network.{f}.1.weight"], transpose=True)
+            _set(flat, rep + (f"dipole_inter_{t}", f"filter_{tg}_1",
+                              "linear", "bias"),
+                 sd[f"{db}.filter_network.{f}.1.bias"])
+            _set(flat, rep + (f"dipole_inter_{t}", f"transform_{tg}",
+                              "linear", "kernel"),
+                 sd[f"{db}.transform.{f}.weight"], transpose=True)
+            _set(flat, rep + (f"dipole_inter_{t}", f"transform_{tg}",
+                              "linear", "bias"),
+                 sd[f"{db}.transform.{f}.bias"])
+            _set(flat, rep + (f"dipole_update_{t}", f"transform_{tg}",
+                              "linear", "kernel"),
+                 sd[f"representation.dipole_update.{t}.transform.{f}.weight"],
+                 transpose=True)
+    _import_atomwise(flat, sd, prefix="output_modules.0.outnet")
+    params = {"params": unflatten_dict(flat)}
+    params = jax.tree.map(jnp.asarray, params)
+    info["external_fields"] = fields
+    return pot, params, info
+
+
 def import_torch_model(path: str, **kwargs):
     """Dispatch on the representation class of the pickled model."""
     _, info = load_torch_model(path)
@@ -395,6 +553,8 @@ def import_torch_model(path: str, **kwargs):
         return import_schnet(path, **kwargs)
     if info["representation"] == "SO3net":
         return import_so3net(path, **kwargs)
+    if info["representation"] == "FieldSchNet":
+        return import_field_schnet(path, **kwargs)
     raise NotImplementedError(
         f"weight import for {info['representation']} is not supported yet"
     )

@@ -245,13 +245,22 @@ class EnsembleCalculator(SchNetPackCalculator):
         outputs = jax.vmap(run_one)(self.params)  # leaves: [E, ...]
         mean = jax.tree.map(lambda x: jnp.mean(x, axis=0), outputs)
         system = self._update_system(system, mean)
-        # uncertainties stored on the side (host hooks may log them)
-        self.last_uncertainty = {
-            k + "_uncertainty": jnp.std(v, axis=0)
-            for k, v in outputs.items()
-            if k in (self.force_key, self.energy_key, self.stress_key)
-        }
-        return system
+        # uncertainty streams: scan-carried System properties, so the
+        # FileLogger/TensorBoard host hooks can record them per step
+        # (parity: reference ensemble_calculator.py:14-81 property streams)
+        R_, A, M = system.n_replicas, system.total_atoms, system.n_molecules
+        unc = {}
+        for k, conv, shape in (
+            (self.force_key, self.force_conversion, (R_, A, 3)),
+            (self.energy_key, self.energy_conversion, (R_, M)),
+            (self.stress_key, self.stress_conversion, (R_, M, 3, 3)),
+        ):
+            if k is not None and k in outputs:
+                unc[k + "_uncertainty"] = (
+                    jnp.std(outputs[k], axis=0).reshape(shape) * conv
+                )
+        self.last_uncertainty = unc
+        return system.replace(properties={**system.properties, **unc})
 
 
 def stack_ensemble_params(params_list):

@@ -166,6 +166,7 @@ class DenseNeighborListMD:
             structure.nbh_offsets: self._offsets,
             structure.nbh_mask: self._mask,
             structure.nbh_rev: self._rev,
+            structure.nbh_cutoff: jnp.asarray(self.cutoff + self.skin),
         }
 
 
@@ -196,7 +197,9 @@ class CellBlockNeighborListMD:
         self._state = None
 
     def build(self, system: System) -> None:
-        from ..ops.cellblock import build_cell_layout, build_column_layout
+        from ..ops.cellblock import (
+            CapacityError, build_cell_layout, build_column_layout,
+        )
 
         n_rep = system.n_replicas
         if n_rep != 1 and self.layout_kind != "column":
@@ -264,7 +267,7 @@ class CellBlockNeighborListMD:
                         capacity_headroom=self.capacity_headroom,
                     )
                     _, _, P1, ks1 = lay1.dims
-                except ValueError:
+                except CapacityError:
                     P1, ks1 = P0, ks0
                 self._dims = (nx0, ny0, 1)
                 self._C = max(P0, P1)
@@ -278,7 +281,7 @@ class CellBlockNeighborListMD:
                     edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
-            except ValueError:
+            except CapacityError:
                 # sticky shapes no longer fit — re-derive (recompiles)
                 layout = build_column_layout(
                     R_np, rc, use_cell, use_pbc, edges=union_edges,
@@ -292,7 +295,7 @@ class CellBlockNeighborListMD:
                     capacity_headroom=self.capacity_headroom,
                     k_multiple=self.k_multiple,
                 )
-            except ValueError:
+            except CapacityError:
                 layout = build_cell_layout(
                     R_np, rc, use_cell, use_pbc,
                     capacity_headroom=self.capacity_headroom,

@@ -91,7 +91,8 @@ class Simulator:
     def _log_record(self, system: System) -> Dict[str, jax.Array]:
         rec = {}
         for k in self.log_keys:
-            v = getattr(system, k, None)
+            v = system.properties.get(k) if k in system.properties else (
+                getattr(system, k, None))
             if v is None and k in ("temperature", "kinetic_energy"):
                 v = getattr(System, k).fget(system)
             if v is not None:

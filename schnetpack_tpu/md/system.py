@@ -46,6 +46,10 @@ class System(flax.struct.PyTreeNode):
     atom_mask: jax.Array     # [A] 1/0
     pbc: jax.Array           # [M, 3] bool
     n_atoms_per_mol: jax.Array  # [M]
+    # extra calculator outputs carried through the scan (shape-stable),
+    # e.g. ensemble ``*_uncertainty`` streams — loggable via log_keys
+    # (parity: the reference's property streams, ensemble_calculator.py)
+    properties: dict = flax.struct.field(default_factory=dict)
 
     @property
     def n_replicas(self) -> int:

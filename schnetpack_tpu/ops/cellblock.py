@@ -54,6 +54,10 @@ OFFSETS = np.array(
     dtype=np.int32,
 )
 
+class CapacityError(ValueError):
+    """Sticky layout capacities (cell/column/bucket) no longer fit."""
+
+
 # matmul passes for the selection einsums: HIGH = 3x bf16 passes, which is
 # exact for one-hot x float32 (see module docstring).
 SELECTION_PRECISION = jax.lax.Precision.HIGH
@@ -333,7 +337,7 @@ def build_cell_layout(
     C = -(-(int(counts.max(initial=1)) + capacity_headroom) // 8) * 8
     if capacity is not None:
         if capacity < counts.max(initial=1):
-            raise ValueError(
+            raise CapacityError(
                 f"cell capacity {capacity} < max occupancy {counts.max()}"
             )
         C = capacity
@@ -582,7 +586,7 @@ def build_column_layout(
     P = -(-(int(counts.max(initial=1)) + capacity_headroom) // 8) * 8
     if capacity is not None:
         if capacity < counts.max(initial=1):
-            raise ValueError(
+            raise CapacityError(
                 f"column capacity {capacity} < max occupancy {counts.max()}"
             )
         P = capacity
@@ -629,7 +633,7 @@ def build_column_layout(
     if bucket_size is not None:
         want = tuple(bucket_size)
         if any(w < int(bcnt[:, b].max(initial=0)) for b, w in enumerate(want)):
-            raise ValueError(
+            raise CapacityError(
                 f"bucket sizes {want} < max occupancies "
                 f"{tuple(int(v) for v in bcnt.max(axis=0))}"
             )

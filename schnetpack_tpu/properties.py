@@ -83,6 +83,9 @@ cell_coff: Final[str] = "_cell_coff"
 cell_coff_fm: Final[str] = "_cell_coff_fm"
 #: column-bucketed edge mask [nx, ny, 9, Kcol]
 cell_emask: Final[str] = "_cell_emask"
+#: build cutoff of the dense neighbor matrix (scalar; consumers can
+#: check long-range truncation against it)
+nbh_cutoff: Final[str] = "_nbh_cutoff"
 #: static bucket-size carrier: tuple of 9 zero arrays, shapes (ksizes[c9],)
 cell_ksz: Final[str] = "_cell_ksz"
 #: marker (any array): inputs are LOCAL slabs of a shard_map run over the

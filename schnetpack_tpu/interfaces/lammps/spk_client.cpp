@@ -59,23 +59,31 @@ bool ModelClient::recv_all(void *buf, size_t n) {
   return true;
 }
 
-bool ModelClient::evaluate(int64_t n_total, int64_t n_local,
+bool ModelClient::evaluate(int64_t n_atoms, int64_t n_edges,
                            const int32_t *numbers, const double *positions,
-                           std::vector<double> *e_atom,
-                           std::vector<double> *forces) {
+                           const double *cell, const int64_t *idx_i,
+                           const int64_t *idx_j, const double *offsets,
+                           double *energy, std::vector<double> *e_atom,
+                           std::vector<double> *forces, double *virial9) {
   if (!connect_server()) return false;
-  int64_t header[2] = {n_total, n_local};
+  int64_t header[2] = {n_atoms, n_edges};
   if (!send_all(header, sizeof(header))) return false;
-  if (!send_all(numbers, sizeof(int32_t) * n_total)) return false;
-  if (!send_all(positions, sizeof(double) * 3 * n_total)) return false;
+  if (!send_all(numbers, sizeof(int32_t) * n_atoms)) return false;
+  if (!send_all(positions, sizeof(double) * 3 * n_atoms)) return false;
+  if (!send_all(cell, sizeof(double) * 9)) return false;
+  if (!send_all(idx_i, sizeof(int64_t) * n_edges)) return false;
+  if (!send_all(idx_j, sizeof(int64_t) * n_edges)) return false;
+  if (!send_all(offsets, sizeof(double) * 3 * n_edges)) return false;
 
   int64_t n_back = 0;
   if (!recv_all(&n_back, sizeof(n_back))) return false;
-  if (n_back != n_total) return false;
-  e_atom->resize(n_total);
-  forces->resize(3 * n_total);
-  if (!recv_all(e_atom->data(), sizeof(double) * n_total)) return false;
-  if (!recv_all(forces->data(), sizeof(double) * 3 * n_total)) return false;
+  if (n_back != n_atoms) return false;
+  if (!recv_all(energy, sizeof(double))) return false;
+  e_atom->resize(n_atoms);
+  forces->resize(3 * n_atoms);
+  if (!recv_all(e_atom->data(), sizeof(double) * n_atoms)) return false;
+  if (!recv_all(forces->data(), sizeof(double) * 3 * n_atoms)) return false;
+  if (!recv_all(virial9, sizeof(double) * 9)) return false;
   return true;
 }
 

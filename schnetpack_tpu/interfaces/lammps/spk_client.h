@@ -18,12 +18,18 @@ class ModelClient {
   void close_connection();
   bool connected() const { return fd_ >= 0; }
 
-  // Evaluate the potential for a local+ghost cluster.  positions is
-  // [n_total*3]; per-atom energies and forces come back for all n_total
-  // atoms (caller applies the first n_local — newton-off semantics).
-  bool evaluate(int64_t n_total, int64_t n_local, const int32_t *numbers,
-                const double *positions, std::vector<double> *e_atom,
-                std::vector<double> *forces);
+  // Evaluate the potential for a periodic structure given an explicit
+  // edge list (LAMMPS-built full neighbor list mapped to global tags,
+  // with per-edge Cartesian image offsets — the reference pair style's
+  // convention, pair_schnetpack.cpp:238-276).  Returns the total energy,
+  // per-atom energies, forces on the n_atoms real atoms, and the 3x3
+  // virial tensor W = -dE/d(strain) in row-major order.
+  bool evaluate(int64_t n_atoms, int64_t n_edges, const int32_t *numbers,
+                const double *positions, const double *cell,
+                const int64_t *idx_i, const int64_t *idx_j,
+                const double *offsets, double *energy,
+                std::vector<double> *e_atom, std::vector<double> *forces,
+                double *virial9);
 
  private:
   bool send_all(const void *buf, size_t n);

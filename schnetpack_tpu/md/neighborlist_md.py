@@ -244,14 +244,17 @@ class CellBlockNeighborListMD:
             inv_c = np.linalg.inv(np.asarray(cell, np.float64))
             if np.all(1.0 / np.linalg.norm(inv_c, axis=1) > 2 * rc):
                 min_grid = 3
+        def _pad8(v):
+            return int(-(-int(v) // 8) * 8)
+
         if self.layout_kind == "column":
             if self._dims is None:
-                # First build: probe capacities on a skin-jittered copy of
-                # the positions so thermal motion up to the rebuild
-                # trigger (skin/2 per atom) cannot overflow the sticky
-                # bucket/column capacities mid-run.  Starting geometries
-                # are often lattices whose perfectly-aligned columns give
-                # pathologically small bucket occupancies.
+                # First build: probe capacities on a FULL-skin-jittered
+                # copy of the positions — thermal equilibration moves
+                # bucket occupancies well beyond the starting geometry
+                # (lattices in particular give pathologically small
+                # occupancies) and any later capacity growth recompiles
+                # the whole MD scan.
                 lay0 = build_column_layout(
                     R_np, rc, use_cell, use_pbc, edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
@@ -259,7 +262,7 @@ class CellBlockNeighborListMD:
                 )
                 nx0, ny0, P0, ks0 = lay0.dims
                 jit = R_np + np.random.RandomState(0).uniform(
-                    -self.skin / 2.0, self.skin / 2.0, R_np.shape
+                    -self.skin, self.skin, R_np.shape
                 )
                 try:
                     lay1 = build_column_layout(
@@ -270,9 +273,16 @@ class CellBlockNeighborListMD:
                 except CapacityError:
                     P1, ks1 = P0, ks0
                 self._dims = (nx0, ny0, 1)
-                self._C = max(P0, P1)
+                # column capacity: the one-hot selection depth quantizes
+                # at the 128-deep MXU — headroom must not push P across a
+                # multiple of 128 (136 would cost two passes like 256)
+                P_want = _pad8(max(P0, P1) + 8)
+                if (P_want - 1) // 128 > (_pad8(max(P0, P1)) - 1) // 128:
+                    P_want = _pad8(max(P0, P1))
+                self._C = P_want
                 self._K = tuple(
-                    max(a, b) + 8 for a, b in zip(ks0, ks1)
+                    _pad8(max(a, b) + max(16, max(a, b) // 6))
+                    for a, b in zip(ks0, ks1)
                 )
             try:
                 layout = build_column_layout(
@@ -282,9 +292,24 @@ class CellBlockNeighborListMD:
                     capacity_headroom=self.capacity_headroom,
                 )
             except CapacityError:
-                # sticky shapes no longer fit — re-derive (recompiles)
+                # sticky shapes no longer fit: grow them monotonically
+                # (elementwise max with the fresh requirement + headroom)
+                # so rebuilds never shrink shapes and ping-pong recompiles
+                lay2 = build_column_layout(
+                    R_np, rc, use_cell, use_pbc, dims=self._dims,
+                    edges=union_edges,
+                    capacity_headroom=self.capacity_headroom,
+                )
+                _, _, P2, ks2 = lay2.dims
+                self._C = max(self._C, _pad8(P2 + 8))
+                self._K = tuple(
+                    max(a, _pad8(b + max(16, b // 6)))
+                    for a, b in zip(self._K, ks2)
+                )
                 layout = build_column_layout(
-                    R_np, rc, use_cell, use_pbc, edges=union_edges,
+                    R_np, rc, use_cell, use_pbc, capacity=self._C,
+                    bucket_size=self._K, dims=self._dims,
+                    edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
         else:

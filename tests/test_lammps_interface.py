@@ -1,11 +1,18 @@
 """LAMMPS interface: C++ client <-> Python model server over a Unix socket.
 
-Builds the standalone C++ test client with g++ and validates the wire
-protocol + force values against direct model evaluation.
+Builds the standalone C++ test client with g++ and validates, on a
+PERIODIC box with LAMMPS type ids != atomic numbers:
+
+* the pair-style structure-assembly conventions (type -> Z map from
+  pair_coeff, triclinic cell, per-edge image offsets),
+* force parity against direct in-process periodic evaluation,
+* per-atom energies summing to the total,
+* the virial tensor against a finite-difference strain derivative.
 """
 import os
 import subprocess
 import threading
+import time
 
 import jax
 import numpy as np
@@ -18,12 +25,12 @@ from schnetpack_tpu.interfaces.lammps.server import LammpsModelServer
 from schnetpack_tpu.model import NeuralNetworkPotential
 from schnetpack_tpu.representation import SchNet
 from schnetpack_tpu.transform.neighborlist import NeighborListTransform
-from tests.conftest import random_molecule
 
 LAMMPS_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "schnetpack_tpu", "interfaces", "lammps",
 )
+CUTOFF = 3.0
 
 
 @pytest.fixture(scope="module")
@@ -42,55 +49,135 @@ def client_binary(tmp_path_factory):
     return out
 
 
-def test_server_client_roundtrip(client_binary, tmp_path, rng):
+@pytest.fixture(scope="module")
+def periodic_setup():
+    rng = np.random.RandomState(4)
+    n = 10
+    L = 6.5
+    R = rng.uniform(0, L, size=(n, 3))
+    cell = np.eye(3) * L
+    # LAMMPS types 1/2 mapped to O/H — type ids deliberately != Z
+    types = rng.randint(1, 3, n)
+    type_to_z = {1: 8, 2: 1}
+    Z = np.array([type_to_z[t] for t in types])
     pot = NeuralNetworkPotential(
-        representation=SchNet(n_atom_basis=16, n_interactions=2, n_rbf=8, cutoff=5.0),
+        representation=SchNet(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                              cutoff=CUTOFF),
         input_modules=[PairwiseDistances()],
         output_modules=[
-            Atomwise(output_key="energy", per_atom_output_key="energy_per_atom"),
+            Atomwise(output_key="energy",
+                     per_atom_output_key="energy_per_atom"),
             Forces(),
         ],
     )
-    mol = random_molecule(rng, 6)
-    params = pot.init(jax.random.PRNGKey(0), collate([mol], PaddingSpec(16, 128, 2)))
+    sample = {P.Z: Z, P.R: R, P.cell: cell, P.pbc: np.ones(3, bool)}
+    sample = NeighborListTransform(CUTOFF)(sample)
+    params = pot.init(jax.random.PRNGKey(0),
+                      collate([sample], PaddingSpec(16, 1024, 2)))
+    return pot, params, R, cell, types, Z
 
-    sock = str(tmp_path / "spk.sock")
+
+def _run_server(pot, params, sock, n_requests):
     server = LammpsModelServer(
-        pot, params, cutoff=5.0, socket_path=sock,
+        pot, params, cutoff=CUTOFF, socket_path=sock,
         per_atom_energy_key="energy_per_atom",
-        atom_bucket=16, pair_bucket=128,
+        atom_bucket=16, pair_bucket=256,
     )
-    t = threading.Thread(target=server.serve_forever, kwargs={"max_requests": 1}, daemon=True)
+    t = threading.Thread(target=server.serve_forever,
+                         kwargs={"max_requests": n_requests}, daemon=True)
     t.start()
-    import time
-
     for _ in range(100):
         if os.path.exists(sock):
             break
         time.sleep(0.05)
+    return server, t
 
-    Z = mol[P.Z]
-    R = mol[P.R]
-    stdin = "\n".join(
-        f"{int(z)} {r[0]:.17g} {r[1]:.17g} {r[2]:.17g}" for z, r in zip(Z, R)
-    )
+
+def _client_eval(client_binary, sock, R, cell, types):
+    stdin = [f"{len(R)} 2 {CUTOFF}"]
+    stdin.append(" ".join(f"{v:.17g}" for v in np.asarray(cell).ravel()))
+    stdin.append("8 1")
+    for t, r in zip(types, R):
+        stdin.append(f"{t} {r[0]:.17g} {r[1]:.17g} {r[2]:.17g}")
     proc = subprocess.run(
-        [client_binary, sock, str(len(Z))],
-        input=stdin, text=True, capture_output=True, timeout=300,
+        [client_binary, sock], input="\n".join(stdin), text=True,
+        capture_output=True, timeout=600,
     )
     assert proc.returncode == 0, proc.stderr
     lines = proc.stdout.strip().splitlines()
-    e_line = [l for l in lines if l.startswith("energy_local")][0]
-    e_client = float(e_line.split()[1])
+    vals = {l.split()[0]: l for l in lines}
+    energy = float(vals["energy"].split()[1])
+    e_sum = float(vals["energy_atom_sum"].split()[1])
+    forces = np.array([[float(x) for x in l.split()[2:5]]
+                       for l in lines if l.startswith("force")])
+    virial = np.array(
+        [float(x) for x in vals["virial"].split()[1:]]).reshape(3, 3)
+    return energy, e_sum, forces, virial
 
-    # direct evaluation reference
-    e_ref_atom, f_ref = server.evaluate(Z.astype(np.int32), R, len(Z))
-    assert e_client == pytest.approx(e_ref_atom.sum(), rel=1e-8)
-    f_client = np.array(
-        [[float(x) for x in l.split()[2:5]] for l in lines if l.startswith("force")]
+
+def test_periodic_box_forces_and_virial(client_binary, tmp_path,
+                                        periodic_setup):
+    pot, params, R, cell, types, Z = periodic_setup
+    sock = str(tmp_path / "spk.sock")
+    _run_server(pot, params, sock, 1)
+    energy, e_sum, forces, virial = _client_eval(
+        client_binary, sock, R, cell, types)
+
+    # in-process periodic reference (its own neighbor list)
+    sample = {P.Z: Z, P.R: R, P.cell: cell, P.pbc: np.ones(3, bool)}
+    sample = NeighborListTransform(CUTOFF)(sample)
+    batch = collate([sample], PaddingSpec(16, 1024, 2))
+    import jax.numpy as jnp
+
+    out = pot.apply(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    e_ref = float(out["energy"][0])
+    f_ref = np.asarray(out["forces"])[:len(R)]
+
+    assert energy == pytest.approx(e_ref, rel=1e-5)
+    assert e_sum == pytest.approx(e_ref, rel=1e-5)
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(forces / scale, f_ref / scale,
+                               rtol=1e-4, atol=1e-4)
+
+    # virial trace vs finite-difference isotropic strain of the energy
+    def energy_at(lam):
+        s = {P.Z: Z, P.R: R * (1 + lam), P.cell: cell * (1 + lam),
+             P.pbc: np.ones(3, bool)}
+        s = NeighborListTransform(CUTOFF)(s)
+        b = collate([s], PaddingSpec(16, 1024, 2))
+        return float(pot.apply(
+            params, {k: jnp.asarray(v) for k, v in b.items()})["energy"][0])
+
+    # h large enough that f32 energy quantisation (~1e-7 absolute) stays
+    # well below the symmetric-difference signal
+    h = 2e-3
+    dE = (energy_at(h) - energy_at(-h)) / (2 * h)
+    assert np.trace(virial) == pytest.approx(-dE, rel=5e-3, abs=5e-4)
+
+
+def test_wrong_type_map_changes_energy(client_binary, tmp_path,
+                                       periodic_setup):
+    """Guard against the silent type==Z assumption: feeding type ids as
+    atomic numbers must give a DIFFERENT energy."""
+    pot, params, R, cell, types, Z = periodic_setup
+    sock = str(tmp_path / "spk2.sock")
+    _run_server(pot, params, sock, 2)
+    e_mapped, _, _, _ = _client_eval(client_binary, sock, R, cell, types)
+
+    # same request but identity map (types pretending to be Z)
+    stdin = [f"{len(R)} 2 {CUTOFF}"]
+    stdin.append(" ".join(f"{v:.17g}" for v in np.asarray(cell).ravel()))
+    stdin.append("1 2")
+    for t, r in zip(types, R):
+        stdin.append(f"{t} {r[0]:.17g} {r[1]:.17g} {r[2]:.17g}")
+    proc = subprocess.run(
+        [client_binary, sock], input="\n".join(stdin), text=True,
+        capture_output=True, timeout=600,
     )
-    np.testing.assert_allclose(f_client, f_ref, rtol=1e-7, atol=1e-10)
-    t.join(timeout=10)
+    assert proc.returncode == 0, proc.stderr
+    e_identity = float([l for l in proc.stdout.splitlines()
+                        if l.startswith("energy ")][0].split()[1])
+    assert abs(e_identity - e_mapped) > 1e-6
 
 
 def test_pair_style_sources_present():
@@ -98,3 +185,5 @@ def test_pair_style_sources_present():
     for f in ("pair_schnetpack_tpu.cpp", "spk_client.h", "spk_client.cpp",
               "patch_lammps.sh"):
         assert os.path.exists(os.path.join(LAMMPS_DIR, f))
+    src = open(os.path.join(LAMMPS_DIR, "pair_schnetpack_tpu.cpp")).read()
+    assert "type_to_z_" in src and "virial" in src and "domain->xy" in src

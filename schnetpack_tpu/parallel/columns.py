@@ -96,3 +96,47 @@ def make_sharded_column_eval(pot, params, inputs, mesh: Mesh):
         check_vma=False,
     )
     return jax.jit(f)
+
+
+def make_sharded_column_md(pot, params, inputs, mesh: Mesh,
+                           mass: float = 1.0, dt: float = 0.1,
+                           n_steps: int = 5):
+    """jit'd (inputs, R0, p0) -> (R_n, p_n): an NVE velocity-Verlet chunk
+    run ENTIRELY inside shard_map — positions/momenta stay slab-sharded,
+    the integrator is local elementwise math, and the only interconnect
+    traffic per step is the column kernels' halo ppermutes.  This is the
+    multi-chip MD inner loop (the reference scales MD only via LAMMPS
+    domain decomposition; here it is in-framework).
+    """
+    in_specs = column_in_specs(inputs)
+
+    def run(ins, R0, p0):
+        amask = ins[P.atom_mask][:, None]
+
+        def force(R):
+            b = dict(ins)
+            b[P.R] = R
+            out = pot.apply(params, b, do_postprocessing=False)
+            return out[P.forces] * amask
+
+        def body(carry, _):
+            R, p, f = carry
+            p1 = p + 0.5 * dt * f
+            R1 = R + dt * p1 / mass
+            f1 = force(R1)
+            p2 = p1 + 0.5 * dt * f1
+            return (R1, p2, f1), None
+
+        f0 = force(R0)
+        (Rn, pn, _), _ = jax.lax.scan(body, (R0, p0, f0), None,
+                                      length=n_steps)
+        return Rn, pn
+
+    f = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(in_specs, PartitionSpec(COLS_AXIS),
+                  PartitionSpec(COLS_AXIS)),
+        out_specs=(PartitionSpec(COLS_AXIS), PartitionSpec(COLS_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(f)

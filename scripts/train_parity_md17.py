@@ -63,22 +63,66 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
         out = ref_pot.apply(ref_params, batch)
         return out["energy"], out["forces"]
 
-    rng = np.random.RandomState(seed)
-    samples = []
+    # ---- MD17-style sampling: teacher-driven Langevin MD snapshots ----
+    # (random coordinate noise puts geometries far off the thermal
+    # manifold — the teacher then yields ~45 eV/A forces and training on
+    # them diverges; MD17 itself is an AIMD trajectory)
     from schnetpack_tpu.data.loader import collate
+    from schnetpack_tpu.md import (
+        MaxwellBoltzmannInit, Simulator, VelocityVerlet, load_molecules,
+    )
+    from schnetpack_tpu.md.simulation_hooks.thermostats import (
+        LangevinThermostat,
+    )
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
 
+    mol = {P.Z: Z, P.R: R0, P.cell: np.zeros((3, 3)),
+           P.pbc: np.zeros(3, bool)}
+    system = load_molecules([mol])
+    system = MaxwellBoltzmannInit(300.0).initialize_system(
+        system, jax.random.PRNGKey(seed))
+    calc = SchNetPackCalculator(ref_pot, ref_params, cutoff=info["cutoff"])
+    sim = Simulator(system, VelocityVerlet(0.5), calc,
+                    simulator_hooks=[LangevinThermostat(300.0, 100.0)],
+                    progress=False, log_keys=("positions",), seed=seed)
+
+    frames = []
+
+    class Grab:
+        def on_simulation_start(self, s):
+            pass
+
+        def on_simulation_end(self, s):
+            pass
+
+        def process_chunk(self, s, logs, start):
+            frames.append(np.asarray(logs["positions"][:, 0]))
+
+    sim.host_hooks.append(Grab())
     t0 = time.time()
-    for i in range(n_train + n_val):
-        Rp = R0 + rng.normal(0.0, 0.08, R0.shape)
-        s = {P.Z: Z, P.R: Rp, P.cell: np.zeros((3, 3)),
-             P.pbc: np.zeros(3, bool)}
+    stride = 5
+    sim.simulate(stride * (n_train + n_val) + 200, chunk_size=200)
+    R_frames = np.concatenate(frames)[200::stride] * 10.0  # MD nm -> Ang
+    R_frames = R_frames[: n_train + n_val]
+    print(f"sampled {len(R_frames)} MD frames in {time.time()-t0:.1f}s",
+          flush=True)
+
+    samples = []
+    t0 = time.time()
+    for Rp in R_frames:
+        s = {P.Z: Z, P.R: np.asarray(Rp, np.float64),
+             P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool)}
         s = nlt(s)
         b = {k: jnp.asarray(v) for k, v in collate([s], pad).items()}
         e, f = teacher(b)
         s["energy"] = np.asarray(e[:1], np.float64)
         s["forces"] = np.asarray(f[:na], np.float64)
         samples.append(s)
-    print(f"labeled {len(samples)} samples in {time.time()-t0:.1f}s",
+    e_mean = float(np.mean([s["energy"][0] for s in samples]))
+    for s in samples:
+        s["energy"] = s["energy"] - e_mean
+    print(f"labeled {len(samples)} samples in {time.time()-t0:.1f}s; "
+          f"mean |F| = {np.mean([np.abs(s['forces']).mean() for s in samples]):.3f} eV/A",
           flush=True)
 
     class DS:

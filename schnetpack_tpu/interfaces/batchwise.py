@@ -104,19 +104,31 @@ def batchwise_lbfgs(
         e, f_list = calculator.calculate(current)
         return e, np.concatenate(f_list) * move_mask
 
+    # Per-sample curvature (parity: batchwise_optimization.py:613-917 keeps
+    # an independent Hessian approximation per structure): the history
+    # vectors are shared arrays, but every inner product of the two-loop
+    # recursion is a *segment* dot over each molecule's own atoms, with a
+    # per-molecule rho.  This is exactly block-diagonal L-BFGS — molecule m
+    # takes the same steps it would if relaxed alone.
+    M = len(samples)
+    mol3 = np.repeat(mol_of_atom, 3)  # molecule id per flattened coordinate
+
+    def segdot(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        return np.bincount(mol3, weights=a * b, minlength=M)
+
     s_hist: List[np.ndarray] = []
     y_hist: List[np.ndarray] = []
-    rho: List[float] = []
+    rho: List[np.ndarray] = []  # per-molecule [M]; 0 where curvature invalid
 
     e, f = eval_forces(x)
-    converged = np.zeros(len(samples), bool)
-    iterations = np.zeros(len(samples), int)
+    converged = np.zeros(M, bool)
+    iterations = np.zeros(M, int)
     H0 = 1.0 / alpha
 
     for it in range(maxstep_total):
         fnorm_per_mol = np.array(
             [np.abs(f[mol_of_atom == m]).max() if (mol_of_atom == m).any() else 0.0
-             for m in range(len(samples))]
+             for m in range(M)]
         )
         newly = fnorm_per_mol < fmax
         iterations[~converged & ~newly] = it
@@ -124,17 +136,17 @@ def batchwise_lbfgs(
         if converged.all():
             break
 
-        # two-loop recursion on -grad = f
+        # block-diagonal two-loop recursion on -grad = f
         q = f.reshape(-1).copy()
         a_coeffs = []
         for s_v, y_v, r in zip(reversed(s_hist), reversed(y_hist), reversed(rho)):
-            a_c = r * np.dot(s_v, q)
-            q -= a_c * y_v
+            a_c = r * segdot(s_v, q)          # [M]
+            q -= a_c[mol3] * y_v
             a_coeffs.append(a_c)
         z = H0 * q
         for s_v, y_v, r, a_c in zip(s_hist, y_hist, rho, reversed(a_coeffs)):
-            b_c = r * np.dot(y_v, z)
-            z += s_v * (a_c - b_c)
+            b_c = r * segdot(y_v, z)          # [M]
+            z += s_v * (a_c - b_c)[mol3]
         step = z.reshape(total, 3) * damping
         # freeze converged molecules, clip per-atom step length
         frozen = converged[mol_of_atom]
@@ -147,11 +159,16 @@ def batchwise_lbfgs(
 
         s_v = (x_new - x).reshape(-1)
         y_v = (f - f_new).reshape(-1)  # y = grad_new - grad_old = -(f_new - f)
-        sy = float(np.dot(s_v, y_v))
-        if sy > 1e-10:
-            s_hist.append(s_v)
-            y_hist.append(y_v)
-            rho.append(1.0 / sy)
+        sy = segdot(s_v, y_v)          # per-molecule curvature [M]
+        ok = sy > 1e-10
+        if ok.any():
+            # molecules with invalid/zero curvature this step (incl. frozen
+            # ones, whose s_v is exactly 0) get rho=0 — the pair is inert
+            # for them in every future recursion
+            mask3 = ok[mol3]
+            s_hist.append(np.where(mask3, s_v, 0.0))
+            y_hist.append(np.where(mask3, y_v, 0.0))
+            rho.append(np.where(ok, 1.0 / np.where(ok, sy, 1.0), 0.0))
             if len(s_hist) > memory:
                 s_hist.pop(0)
                 y_hist.pop(0)

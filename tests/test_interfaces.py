@@ -112,3 +112,53 @@ def test_ase_interface_single_point_and_modes(potential):
     freqs = iface.compute_normal_modes(delta=0.01)
     assert freqs.shape == (9,)
     assert np.isfinite(freqs).all()
+
+
+class _QuadraticCalculator:
+    """Analytic per-molecule quadratic well: E_m = 0.5*k_m*|R - R0_m|^2.
+
+    Lets the LBFGS curvature test run without a network and gives each
+    molecule a *different* Hessian, so any cross-sample curvature leakage
+    changes the trajectories.
+    """
+
+    def __init__(self, ks, centers):
+        self.ks = ks
+        self.centers = centers
+
+    def calculate(self, structures):
+        es, fs = [], []
+        for s, k, c in zip(structures, self.ks, self.centers):
+            d = np.asarray(s[P.R], np.float64) - c
+            es.append(0.5 * k * float((d ** 2).sum()))
+            fs.append(-k * d)
+        return np.array(es), fs
+
+
+def test_batchwise_lbfgs_per_sample_curvature():
+    """Relaxing [A, B] batched must give A the SAME trajectory as relaxing
+    [A] alone — the reference keeps per-sample Hessian approximations
+    (batchwise_optimization.py:613-917); a shared curvature history fails
+    this because B's (very different) stiffness contaminates A's steps."""
+    rng = np.random.RandomState(3)
+    R0a, R0b = rng.randn(4, 3), rng.randn(6, 3)
+    A = {P.Z: np.array([6] * 4), P.R: R0a + rng.randn(4, 3) * 0.4,
+         P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool)}
+    B = {P.Z: np.array([8] * 6), P.R: R0b + rng.randn(6, 3) * 0.4,
+         P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool)}
+
+    # stiffness ratio 50x: a shared history averages the two curvatures
+    calc_both = _QuadraticCalculator([1.0, 50.0], [R0a, R0b])
+    calc_a = _QuadraticCalculator([1.0], [R0a])
+
+    kw = dict(fmax=1e-6, maxstep_total=60, memory=10)
+    relaxed_both, info_both = batchwise_lbfgs(calc_both, [A, B], **kw)
+    relaxed_a, info_a = batchwise_lbfgs(calc_a, [A], **kw)
+
+    # block-diagonality: identical trajectory for A in both runs
+    np.testing.assert_allclose(
+        relaxed_both[0][P.R], relaxed_a[0][P.R], atol=1e-10)
+    assert info_both["iterations"][0] == info_a["iterations"][0]
+    # both molecules converge to their analytic minima
+    np.testing.assert_allclose(relaxed_both[0][P.R], R0a, atol=1e-5)
+    np.testing.assert_allclose(relaxed_both[1][P.R], R0b, atol=1e-5)

@@ -74,8 +74,14 @@ def main():
 
     system = load_molecules([mol])
     system = MaxwellBoltzmannInit(30.0).initialize_system(system, jax.random.PRNGKey(1))
+    # production-MD precision: bf16 features in the selection kernels
+    # (PIECES=1), geometry exact f32.  Acceptance evidence
+    # (scripts/precision_study.py, PERF.md): force error 0.75% rms / 1.1%
+    # max vs exact-f32, NVE drift statistically identical to f32
+    # (-0.0021 vs -0.0018 MD-energy/atom/ps over 3k steps).
     calc = SchNetPackCalculator(
         pot, params, cutoff=cutoff, cutoff_shell=0.6, neighbor_list="cellblock",
+        precision="bf16",
     )
     sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False,
                     log_keys=("energy", "temperature"))
@@ -148,6 +154,9 @@ def main():
                     "force_eval_gflops": round(flops_per_eval / 1e9, 2),
                     "achieved_tflops_per_sec": round(tflops, 2),
                     "what": "full NVE MD loop (PaiNN-128x3, column-kernel NBL + skin)",
+                    "precision": "bf16 features (PIECES=1, production MD mode); "
+                                 "geometry exact f32; 0.75% rms force err, "
+                                 "NVE drift == f32 (PERF.md precision study)",
                     "timing": "lax.scan chunks, sequential dependency",
                     "device": str(jax.devices()[0]),
                 },

@@ -26,7 +26,7 @@ sys.path.insert(0, ".")
 from bench import fcc_box  # noqa: E402
 
 
-def build(n_atoms, precision, temp=30.0):
+def build(n_atoms, precision, temp=30.0, jitter=0.0):
     import jax
 
     from schnetpack_tpu import properties as P
@@ -42,6 +42,11 @@ def build(n_atoms, precision, temp=30.0):
 
     cutoff = 5.0
     pos, cell = fcc_box(n_atoms)
+    if jitter:
+        # a perfect lattice has F = 0 by symmetry — force-error ratios on
+        # it are noise/noise; jitter puts the geometry on a thermal-like
+        # manifold with O(1) forces
+        pos = pos + np.random.RandomState(7).normal(0.0, jitter, pos.shape)
     n = len(pos)
     mol = {P.Z: np.full(n, 18, dtype=np.int64), P.R: pos, P.cell: cell,
            P.pbc: np.ones(3, bool)}
@@ -73,7 +78,7 @@ def force_error():
     results = {}
     f_ref = None
     for precision in ("f32", "mixed", "bf16"):
-        sim, calc, system = build(10_000, precision)
+        sim, calc, system = build(10_000, precision, jitter=0.15)
         st = calc.init_state(system)
         out = calc.calculate(system, st)
         f = np.asarray(jax.device_get(out.forces))[0]

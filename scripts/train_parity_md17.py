@@ -100,9 +100,12 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
 
     sim.host_hooks.append(Grab())
     t0 = time.time()
-    stride = 5
-    sim.simulate(stride * (n_train + n_val) + 200, chunk_size=200)
-    R_frames = np.concatenate(frames)[200::stride] * 10.0  # MD nm -> Ang
+    # equilibrate 2 ps before collecting — frames taken during thermal
+    # equilibration sit off the 300 K manifold (rare +20 eV energy
+    # outliers that MSE amplifies and the student cannot fit)
+    stride, equil = 10, 4000
+    sim.simulate(stride * (n_train + n_val) + equil, chunk_size=400)
+    R_frames = np.concatenate(frames)[equil::stride] * 10.0  # MD nm -> Ang
     R_frames = R_frames[: n_train + n_val]
     print(f"sampled {len(R_frames)} MD frames in {time.time()-t0:.1f}s",
           flush=True)
@@ -121,9 +124,11 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     e_mean = float(np.mean([s["energy"][0] for s in samples]))
     for s in samples:
         s["energy"] = s["energy"] - e_mean
+    e_arr = np.array([s["energy"][0] for s in samples])
     print(f"labeled {len(samples)} samples in {time.time()-t0:.1f}s; "
-          f"mean |F| = {np.mean([np.abs(s['forces']).mean() for s in samples]):.3f} eV/A",
-          flush=True)
+          f"mean |F| = {np.mean([np.abs(s['forces']).mean() for s in samples]):.3f} eV/A; "
+          f"E spread std={e_arr.std():.3f} min={e_arr.min():.2f} "
+          f"max={e_arr.max():.2f} eV", flush=True)
 
     class DS:
         def __init__(self, rows):

@@ -265,6 +265,21 @@ def collate(
             for k, v in enumerate(vals):
                 out[atom_off[k]: atom_off[k + 1]] = v
             batch[key] = out
+        elif v0.ndim >= 1 and all(v.shape[0] == 1 for v in vals):
+            # per-molecule property stored with a LEADING SINGLETON dim
+            # (the reference DB convention for molecule scalars/vectors:
+            # energy (1,), dipole (1, 3), polarizability (1, 3, 3)) ->
+            # concatenate along it: energy -> [M], dipole -> [M, 3].
+            # Stacking instead would yield [M, 1] energy targets that
+            # silently BROADCAST against [M] Atomwise predictions in the
+            # loss ([M, M] error matrix -> trains toward the label mean).
+            out = np.zeros(
+                (M,) + v0.shape[1:],
+                dtype=float_dtype if np.issubdtype(v0.dtype, np.floating) else v0.dtype,
+            )
+            for k, v in enumerate(vals):
+                out[k] = v[0]
+            batch[key] = out
         else:
             # per-molecule property -> stack and pad along molecules
             out = np.zeros((M,) + v0.shape, dtype=float_dtype if np.issubdtype(v0.dtype, np.floating) else v0.dtype)

@@ -91,9 +91,21 @@ class ModelOutput:
     def target(self) -> str:
         return self.target_property or self.name
 
+    def _target(self, pred, batch):
+        target = batch[self.target].astype(pred.dtype)
+        if target.shape != pred.shape:
+            # NEVER let pred/target broadcast silently: an [M, 1] target
+            # against an [M] prediction forms an [M, M] error matrix and
+            # trains the head toward the label mean.
+            raise ValueError(
+                f"output '{self.name}': prediction shape {pred.shape} != "
+                f"target '{self.target}' shape {target.shape}"
+            )
+        return target
+
     def loss(self, outputs, batch):
         pred = outputs[self.name]
-        target = batch[self.target].astype(pred.dtype)
+        target = self._target(pred, batch)
         mask = _mask_for(pred, batch)
         for c in self.constraints:
             pred, target, mask = c(pred, target, mask, batch)
@@ -101,7 +113,7 @@ class ModelOutput:
 
     def metric_sums(self, outputs, batch, prefix: str):
         pred = outputs[self.name]
-        target = batch[self.target].astype(pred.dtype)
+        target = self._target(pred, batch)
         mask = _mask_for(pred, batch)
         for c in self.constraints:
             pred, target, mask = c(pred, target, mask, batch)

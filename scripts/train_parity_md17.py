@@ -65,7 +65,7 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
 
     # ---- MD17-style sampling: teacher-driven Langevin MD snapshots ----
     # (random coordinate noise puts geometries far off the thermal
-    # manifold — the teacher then yields ~45 eV/A forces and training on
+    # manifold — the teacher then yields huge forces and training on
     # them diverges; MD17 itself is an AIMD trajectory)
     from schnetpack_tpu.data.loader import collate
     from schnetpack_tpu.md import (
@@ -81,12 +81,20 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     system = load_molecules([mol])
     system = MaxwellBoltzmannInit(300.0).initialize_system(
         system, jax.random.PRNGKey(seed))
-    calc = SchNetPackCalculator(ref_pot, ref_params, cutoff=info["cutoff"])
+    # md_ethanol.model is an MD17-trained model: its outputs are
+    # kcal/mol, NOT eV (reference tutorial_04_molecular_dynamics.ipynb
+    # drives it with energy units "kcal/mol").  With the default eV the
+    # forces are 23x too strong and the sampling MD dissociates ethanol
+    # within ~0.25 ps.
+    calc = SchNetPackCalculator(ref_pot, ref_params, cutoff=info["cutoff"],
+                                energy_unit="kcal/mol")
     sim = Simulator(system, VelocityVerlet(0.5), calc,
                     simulator_hooks=[LangevinThermostat(300.0, 100.0)],
-                    progress=False, log_keys=("positions",), seed=seed)
+                    progress=False, log_keys=("positions", "temperature"),
+                    seed=seed)
 
     frames = []
+    temps = []
 
     class Grab:
         def on_simulation_start(self, s):
@@ -97,18 +105,27 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
 
         def process_chunk(self, s, logs, start):
             frames.append(np.asarray(logs["positions"][:, 0]))
+            temps.append(np.asarray(logs["temperature"]).ravel())
 
     sim.host_hooks.append(Grab())
     t0 = time.time()
     # equilibrate 2 ps before collecting — frames taken during thermal
-    # equilibration sit off the 300 K manifold (rare +20 eV energy
+    # equilibration sit off the 300 K manifold (rare high-energy
     # outliers that MSE amplifies and the student cannot fit)
     stride, equil = 10, 4000
     sim.simulate(stride * (n_train + n_val) + equil, chunk_size=400)
     R_frames = np.concatenate(frames)[equil::stride] * 10.0  # MD nm -> Ang
     R_frames = R_frames[: n_train + n_val]
-    print(f"sampled {len(R_frames)} MD frames in {time.time()-t0:.1f}s",
+    T_prod = np.concatenate(temps)[equil:]
+    span = max(
+        float(np.linalg.norm(f[:, None] - f[None], axis=-1).max())
+        for f in R_frames[::100]
+    )
+    print(f"sampled {len(R_frames)} MD frames in {time.time()-t0:.1f}s; "
+          f"<T>={T_prod.mean():.0f} K; max interatomic dist {span:.2f} A",
           flush=True)
+    assert abs(T_prod.mean() - 300.0) < 60.0, "sampling not at 300 K"
+    assert span < 8.0, "molecule dissociated during sampling"
 
     samples = []
     t0 = time.time()
@@ -126,9 +143,9 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
         s["energy"] = s["energy"] - e_mean
     e_arr = np.array([s["energy"][0] for s in samples])
     print(f"labeled {len(samples)} samples in {time.time()-t0:.1f}s; "
-          f"mean |F| = {np.mean([np.abs(s['forces']).mean() for s in samples]):.3f} eV/A; "
+          f"mean |F| = {np.mean([np.abs(s['forces']).mean() for s in samples]):.3f} kcal/mol/A; "
           f"E spread std={e_arr.std():.3f} min={e_arr.min():.2f} "
-          f"max={e_arr.max():.2f} eV", flush=True)
+          f"max={e_arr.max():.2f} kcal/mol", flush=True)
 
     class DS:
         def __init__(self, rows):
@@ -175,21 +192,31 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     print(f"trained {epochs} epochs in {(time.time()-t0)/60:.1f} min",
           flush=True)
 
-    params = {"params": state.ema_params["params"]} if isinstance(
-        state.ema_params, dict) else state.ema_params
     m = aggregate_metrics([
         task.eval_step(task.eval_params(state), b) for b in val_loader
     ])
-    f_mae_ev = m.get("val_forces_mae")
-    e_mae_ev = m.get("val_energy_mae")
+    f_mae = m.get("val_forces_mae")
+    e_mae = m.get("val_energy_mae")
+    # offset-corrected energy MAE: the reference recipe removes the mean
+    # energy as an offset transform (configs/experiment/md17.yaml), so
+    # relative energies are what the published tables measure
+    eval_params = task.eval_params(state)
+    d = []
+    for s in samples[n_train:]:
+        b = {k: jnp.asarray(v) for k, v in collate([s], pad).items()}
+        out = pot.apply(eval_params, b, do_postprocessing=False)
+        d.append(float(out["energy"][0]) - float(s["energy"][0]))
+    d = np.array(d)
+    e_mae_rel = float(np.abs(d - d.mean()).mean())
     print("== MD17-ethanol label-regeneration parity ==", flush=True)
-    print(f"force MAE: {f_mae_ev:.5f} eV/A = "
-          f"{f_mae_ev * EV2KCAL:.4f} kcal/mol/A", flush=True)
-    print(f"energy MAE: {e_mae_ev:.5f} eV = "
-          f"{e_mae_ev * EV2KCAL:.4f} kcal/mol", flush=True)
+    print(f"force MAE: {f_mae:.5f} kcal/mol/A = "
+          f"{f_mae / EV2KCAL:.5f} eV/A", flush=True)
+    print(f"energy MAE: {e_mae:.5f} kcal/mol "
+          f"(offset-corrected: {e_mae_rel:.5f} kcal/mol; "
+          f"constant residual {d.mean():+.4f})", flush=True)
     scale = np.mean([np.abs(s["forces"]).mean() for s in samples[n_train:]])
-    print(f"mean |F| of labels: {scale:.4f} eV/A; "
-          f"relative force MAE: {f_mae_ev / scale * 100:.2f}%", flush=True)
+    print(f"mean |F| of labels: {scale:.4f} kcal/mol/A; "
+          f"relative force MAE: {f_mae / scale * 100:.2f}%", flush=True)
 
 
 if __name__ == "__main__":

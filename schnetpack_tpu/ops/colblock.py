@@ -211,14 +211,19 @@ def _painn_message_xla(xmu, rbf_aug, dir_e, FW_aug, refs):
 
 
 def painn_message_columns_fm(xmu, geo, FW_aug, refs: ColRefs):
-    """Feature-major fused message: geo [nx, ny, B1+3, Ktot] packs the
-    augmented radial basis (B1 = n_rbf+1 channels) and the unit direction
-    vectors (3 channels) with the edge axis minor — no (8,128) lane-tile
-    padding in HBM, one tensor through the kernels instead of two."""
+    """Feature-major fused message: ``geo`` is the 9-part per-bucket tuple
+    from :func:`colblock_geo.column_geometry` — geo_c9 [nx, ny, B1+3, k_c9]
+    packs the augmented radial basis (B1 = n_rbf+1 channels) and the unit
+    direction vectors (3 channels) with the edge axis minor — no (8,128)
+    lane-tile padding in HBM, and per-bucket arrays let the kernels address
+    shifted blocks with index maps instead of rolls."""
     if _cb._impl().startswith("pallas"):
         from .colblock_pallas import painn_message_columns_fm_pallas
 
         return painn_message_columns_fm_pallas(xmu, geo, FW_aug, refs)
-    B1 = geo.shape[2] - 3
-    g = jnp.moveaxis(geo, 2, 3)
+    from .colblock_geo import concat_geo
+
+    geo_packed = concat_geo(geo)
+    B1 = geo_packed.shape[2] - 3
+    g = jnp.moveaxis(geo_packed, 2, 3)
     return _painn_message_xla(xmu, g[..., :B1], g[..., B1:], FW_aug, refs)

@@ -166,8 +166,13 @@ def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
             pl.BlockSpec((1, 1, 3, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
         ] + _posT_specs(nx, ny, P) + _own_specs(nx, ny, P),
-        out_specs=pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((nx, ny, B + 4, Ktot), R.dtype),
+        out_specs=tuple(
+            pl.BlockSpec((1, 1, B + 4, k), lambda i, j: (i, j, 0, 0))
+            for k in ks
+        ),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((nx, ny, B + 4, k), R.dtype) for k in ks
+        ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], coff_fm, cw,
@@ -187,7 +192,7 @@ def _bucket_pieces(args, c9):
 def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
                     raw_phi):
     pos_args = args[: POS_PIECES * 9 + POS_PIECES]
-    out_ref = args[POS_PIECES * 9 + POS_PIECES]
+    out_refs = args[POS_PIECES * 9 + POS_PIECES:]
     offs = _koffs(ks)
     coff = coff_ref[0, 0]
     for c9 in range(9):
@@ -195,23 +200,23 @@ def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
         (_, _, emaskT, _, d, _, dirsT, fcutT, phi, _, _) = _recompute_geo(
             q_ref, d_ref, coff, cw_ref, _bucket_pieces(pos_args, c9),
             o0, k, P, rc)
-        out_ref[0, 0, 0:B, o0:o0 + k] = (
+        out_refs[c9][0, 0, 0:B] = (
             phi * emaskT if raw_phi else phi * fcutT
         )
-        out_ref[0, 0, B:B + 1, o0:o0 + k] = fcutT
-        out_ref[0, 0, B + 1:B + 4, o0:o0 + k] = dirsT
+        out_refs[c9][0, 0, B:B + 1] = fcutT
+        out_refs[c9][0, 0, B + 1:B + 4] = dirsT
 
 
 # ------------------------------------------------------------------ bwd
-def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, g_ref, *args,
+def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args,
                     P, B, ks, rc, raw_phi):
-    pos_args = args[: POS_PIECES * 9 + POS_PIECES]
-    outs = args[POS_PIECES * 9 + POS_PIECES:]
+    g_refs = args[:9]
+    pos_args = args[9: 9 + POS_PIECES * 9 + POS_PIECES]
+    outs = args[9 + POS_PIECES * 9 + POS_PIECES:]
     dRi_ref = outs[0]
     part_refs = outs[1:]
     offs = _koffs(ks)
     coff = coff_ref[0, 0]
-    g = g_ref[0, 0]                                             # [B+4, Ktot]
     acc_i = None
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
@@ -219,9 +224,10 @@ def _geo_bwd_kernel(q_ref, d_ref, coff_ref, cw_ref, g_ref, *args,
          coeff) = _recompute_geo(
             q_ref, d_ref, coff, cw_ref, _bucket_pieces(pos_args, c9),
             o0, k, P, rc)
-        gphi = g[0:B, o0:o0 + k]
-        gfc = g[B:B + 1, o0:o0 + k]
-        gdir = g[B + 1:B + 4, o0:o0 + k]
+        g = g_refs[c9][0, 0]                                    # [B+4, k]
+        gphi = g[0:B]
+        gfc = g[B:B + 1]
+        gdir = g[B + 1:B + 4]
         dphi_dd = 2.0 * coeff * diff * phi                      # [B, k]
         fp = -0.5 * (np.pi / rc) * jnp.sin(d * (np.pi / rc))
         dfcut_dd = jnp.where(d < rc, fp, 0.0) * emaskT          # [1, k]
@@ -259,7 +265,9 @@ def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 3, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
+        ] + [
+            pl.BlockSpec((1, 1, B + 4, k), lambda i, j: (i, j, 0, 0))
+            for k in ks
         ] + _posT_specs(nx, ny, P) + _own_specs(nx, ny, P),
         out_specs=tuple(
             pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0))
@@ -270,7 +278,7 @@ def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
-    )(qcol[:, :, None, :], dcol[:, :, None, :], coff_fm, cw, g,
+    )(qcol[:, :, None, :], dcol[:, :, None, :], coff_fm, cw, *g,
       *[p for p in pieces for _ in range(9)], *pieces)
     dRT, partials = outs[0], outs[1:]
     for (dx, dy), p in zip(COL_OFFSETS, partials):
@@ -311,8 +319,14 @@ def column_geometry(R, coff_fm, refs, centers, widths, cutoff,
         cutoff: model cutoff (cosine cutoff radius).
 
     Returns:
-        geo [nx, ny, B+4, Ktot] feature-major with channels
-        [phi * fcut (B), fcut, dir (3)].
+        tuple of 9 per-bucket tensors geo_c9 [nx, ny, B+4, k_c9],
+        feature-major with channels [phi * fcut (B), fcut, dir (3)].
+        Bucket c9 of block (i, j) holds the edges destined for column
+        (i, j) whose source lives in column (i+di, j+dj) — keeping the
+        buckets as separate arrays lets every consumer (message kernels,
+        this op's own VJP) address the shifted source/destination blocks
+        with BlockSpec index maps instead of jnp.roll/concatenate
+        relayouts (~0.8 ms/step of pure HBM copies at 12.8k atoms).
     """
     if not _cb._impl().startswith("pallas"):
         return column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
@@ -346,4 +360,19 @@ def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
                        jnp.asarray(widths, R.dtype))
     ch0 = phi * emask if raw_phi else phi * fcut[..., None]
     geo = jnp.concatenate([ch0, fcut[..., None], dirs], axis=-1)
-    return jnp.moveaxis(geo, -1, 2)
+    return split_geo(jnp.moveaxis(geo, -1, 2), refs.ksizes)
+
+
+def split_geo(geo, ks):
+    """Split one packed [nx, ny, C, Ktot] tensor into the 9 per-bucket
+    parts along the edge axis."""
+    offs = _koffs(ks)
+    return tuple(
+        geo[..., offs[c9]:offs[c9] + ks[c9]] for c9 in range(9)
+    )
+
+
+def concat_geo(geos):
+    """Inverse of :func:`split_geo` (compat shim for consumers that want
+    the packed layout, e.g. the SchNet column kernels)."""
+    return jnp.concatenate(geos, axis=3)

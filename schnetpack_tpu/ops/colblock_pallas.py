@@ -564,20 +564,21 @@ def _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec):
     return jnp.concatenate(parts, axis=-1)             # [k, 4F]
 
 
-def _msg_fm_fwd_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
+def _msg_fm_fwd_kernel(q_ref, d_ref, FW_ref, *args,
                        P, F, B1, ks, pieces):
-    cols = args[:9 * pieces]
-    dq_ref, dmu_ref = args[9 * pieces:]
+    geo_refs = args[:9]
+    cols = args[9:9 + 9 * pieces]
+    dq_ref, dmu_ref = args[9 + 9 * pieces:]
     offs = _koffs(ks)
-    geo = geo_ref[0, 0].T                              # [Ktot, B1+3]
     acc = None
     wprec = _w_precision(pieces)
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
         ohj = _oh(q_ref, o0, k, P)
         xmu_j = _gather_bucket(cols, ohj, c9, pieces)  # [k, 6F]
-        rbf = geo[o0:o0 + k, :B1]
-        dirs = geo[o0:o0 + k, B1:B1 + 3]
+        geo = geo_refs[c9][0, 0].T                     # [k, B1+3]
+        rbf = geo[:, :B1]
+        dirs = geo[:, B1:B1 + 3]
         msg = _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec)
         ohd = _oh(d_ref, o0, k, P)
         for piece in _split_f32(msg, pieces):
@@ -590,14 +591,14 @@ def _msg_fm_fwd_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
     dmu_ref[0, 0] = acc[:, F:]
 
 
-def _msg_fm_fwd_res_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
+def _msg_fm_fwd_res_kernel(q_ref, d_ref, FW_ref, *args,
                            nx, ny, P, F, B1, ks, pieces):
     """Resident-table forward: the whole (bf16-piece) feature table sits
     in VMEM; each grid step slices its 9 source columns from it."""
-    cols = args[:pieces]                               # [nx, ny, P, 6F]
-    dq_ref, dmu_ref = args[pieces:]
+    geo_refs = args[:9]
+    cols = args[9:9 + pieces]                          # [nx, ny, P, 6F]
+    dq_ref, dmu_ref = args[9 + pieces:]
     offs = _koffs(ks)
-    geo = geo_ref[0, 0].T
     i = pl.program_id(0)
     j = pl.program_id(1)
     acc = None
@@ -614,8 +615,9 @@ def _msg_fm_fwd_res_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
                 preferred_element_type=jnp.float32,
             )
             xmu_j = d if xmu_j is None else xmu_j + d
-        rbf = geo[o0:o0 + k, :B1]
-        dirs = geo[o0:o0 + k, B1:B1 + 3]
+        geo = geo_refs[c9][0, 0].T                     # [k, B1+3]
+        rbf = geo[:, :B1]
+        dirs = geo[:, B1:B1 + 3]
         msg = _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec)
         ohd = _oh(d_ref, o0, k, P)
         for piece in _split_f32(msg, pieces):
@@ -628,11 +630,18 @@ def _msg_fm_fwd_res_kernel(q_ref, d_ref, geo_ref, FW_ref, *args,
     dmu_ref[0, 0] = acc[:, F:]
 
 
+def _geo_specs(ks, B1):
+    return [
+        pl.BlockSpec((1, 1, B1 + 3, k), lambda i, j: (i, j, 0, 0))
+        for k in ks
+    ]
+
+
 def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, D6 = xmu.shape
     F = D6 // 6
-    B1 = geo.shape[2] - 3
+    B1 = geo[0].shape[2] - 3
     if _resident_ok(A * D6 * 2 * pieces):
         tables = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
         dq, dmu = pl.pallas_call(
@@ -642,9 +651,8 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
             in_specs=[
                 pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
-                pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-            ] + [
+            ] + _geo_specs(ks, B1) + [
                 pl.BlockSpec((nx, ny, P, D6), lambda i, j: (0, 0, 0, 0))
                 for _ in range(pieces)
             ],
@@ -658,7 +666,7 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
             ),
             compiler_params=_vmem_params(),
             interpret=_interp(),
-        )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug, *tables)
+        )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, *geo, *tables)
         return dq.reshape(A, F), dmu.reshape(A, 3 * F)
     halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
     dq, dmu = pl.pallas_call(
@@ -668,9 +676,8 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, B1 + 3, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-        ] + _col_view_specs(nx, ny, P, D6, pieces),
+        ] + _geo_specs(ks, B1) + _col_view_specs(nx, ny, P, D6, pieces),
         out_specs=(
             pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
@@ -681,7 +688,7 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
-    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug,
+    )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, *geo,
       *[h for h in halos for _ in range(9)])
     return dq.reshape(A, F), dmu.reshape(A, 3 * F)
 
@@ -713,7 +720,7 @@ def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
         o0, k = offs[c9], ks[c9]
         ohj = _oh(qs[c9], o0, k, P)
         ohd = _oh(ds[c9], o0, k, P)
-        geo = geos[c9][0, 0][:, o0:o0 + k].T              # [k, B1+3]
+        geo = geos[c9][0, 0].T                            # [k, B1+3]
         rbf = geo[:, :B1]
         dirs = geo[:, B1:B1 + 3]
         # recompute forward intermediates (sources are in MY column)
@@ -783,15 +790,17 @@ def _oh_vec(v, depth):
     return (v[:, None] == iota).astype(jnp.bfloat16)
 
 
-def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref,
+def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, FW_ref, gq_ref,
                                gmu_ref, *args, nx, ny, P, F, B1, ks,
                                pieces):
-    """Resident-table source-centric backward: geo / gq / gmu / qcol /
-    dcol sit whole in VMEM; each grid step slices bucket c9 of the 9
-    DESTINATION columns out of the resident copies (the edges whose
-    source lives in its own column)."""
-    cols = args[:pieces]                       # own xmu column views
-    outs = args[pieces:]
+    """Resident-table source-centric backward: gq / gmu / qcol / dcol sit
+    whole in VMEM; each grid step slices bucket c9 of the 9 DESTINATION
+    columns out of the resident copies (the edges whose source lives in
+    its own column).  The per-bucket geo parts arrive as 9 block refs
+    whose index maps already point at the destination column."""
+    geos = args[:9]                            # [B1+3, k_c9] dest blocks
+    cols = args[9:9 + pieces]                  # own xmu column views
+    outs = args[9 + pieces:]
     dxmu_ref = outs[0]
     ggeo_refs = outs[1:10]
     gFW_ref = outs[10]
@@ -813,7 +822,7 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref,
         dv = d_ref[xi, yj, 0, o0:o0 + k]
         ohj = _oh_vec(qv, P)
         ohd = _oh_vec(dv, P)
-        geoT = geo_ref[xi, yj, :, o0:o0 + k].T             # [k, B1+3]
+        geoT = geos[c9][0, 0].T                            # [k, B1+3]
         rbf = geoT[:, :B1]
         dirs = geoT[:, B1:B1 + 3]
         # recompute forward intermediates (sources are in MY column)
@@ -877,12 +886,28 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, geo_ref, FW_ref, gq_ref,
     dxmu_ref[0, 0] = acc_dx
 
 
+def _dest_geo_specs(nx, ny, ks, B1):
+    """Block view of geo bucket c9 at the DEST column (xs - dx, ys - dy):
+    used for both the bwd kernels' geo inputs and their ggeo outputs, so
+    the gradient parts land dest-aligned and need no roll/concatenate."""
+    return [
+        pl.BlockSpec(
+            (1, 1, B1 + 3, k),
+            functools.partial(
+                lambda i, j, dx, dy: ((i - dx) % nx, (j - dy) % ny, 0, 0),
+                dx=dx, dy=dy,
+            ),
+        )
+        for k, (dx, dy) in zip(ks, COL_OFFSETS)
+    ]
+
+
 def _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     g_dq, g_dmu = cots
     nx, ny, Ktot = qcol.shape
     A, D6 = xmu.shape
     F = D6 // 6
-    B1 = geo.shape[2] - 3
+    B1 = geo[0].shape[2] - 3
     halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
     gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
@@ -897,18 +922,16 @@ def _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
         in_specs=[
             resident((nx, ny, 1, Ktot)),           # qcol
             resident((nx, ny, 1, Ktot)),           # dcol
-            resident((nx, ny, B1 + 3, Ktot)),      # geo
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
             resident((nx, ny, P, F)),              # g_dq
             resident((nx, ny, P, 3 * F)),          # g_dmu
-        ] + [pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
-             for _ in range(pieces)],              # own xmu column pieces
+        ] + _dest_geo_specs(nx, ny, ks, B1) + [
+            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
+            for _ in range(pieces)
+        ],                                         # own xmu column pieces
         out_specs=(
             pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0)),
-        ) + tuple(
-            pl.BlockSpec((1, 1, B1 + 3, k), lambda i, j: (i, j, 0, 0))
-            for k in ks
-        ) + (
+        ) + tuple(_dest_geo_specs(nx, ny, ks, B1)) + (
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
         ),
         out_shape=(
@@ -921,19 +944,11 @@ def _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
-    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, FW_aug, gq5, gmu5,
-      *halos)
+    )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5,
+      *geo, *halos)
     dxmu = outs[0]
-    ggeo_parts = outs[1:10]
+    ggeo = tuple(outs[1:10])
     gFW = outs[10]
-    idx = 0
-    shifted = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            shifted.append(
-                jnp.roll(ggeo_parts[idx], (-dx, -dy), axis=(0, 1)))
-            idx += 1
-    ggeo = jnp.concatenate(shifted, axis=3)
     return dxmu.reshape(A, D6), ggeo, gFW
 
 
@@ -942,8 +957,8 @@ def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, D6 = xmu.shape
     F = D6 // 6
-    B1 = geo.shape[2] - 3
-    if _resident_ok(geo.size * 4, A * 4 * F * 4, 2 * qcol.size * 4):
+    B1 = geo[0].shape[2] - 3
+    if _resident_ok(A * 4 * F * 4, 2 * qcol.size * 4):
         return _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots,
                                     P, ks, pieces)
     halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
@@ -971,17 +986,14 @@ def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
         in_specs=[pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0))]
         + dest_specs((1, 1, 1, Ktot))            # qcol
         + dest_specs((1, 1, 1, Ktot))            # dcol
-        + dest_specs((1, 1, B1 + 3, Ktot))       # geo
+        + _dest_geo_specs(nx, ny, ks, B1)        # geo parts
         + dest_specs((1, 1, P, F))               # g_dq
         + dest_specs((1, 1, P, 3 * F))           # g_dmu
         + [pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
            for _ in range(pieces)],              # own xmu column pieces
         out_specs=(
             pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0)),
-        ) + tuple(
-            pl.BlockSpec((1, 1, B1 + 3, k), lambda i, j: (i, j, 0, 0))
-            for k in ks
-        ) + (
+        ) + tuple(_dest_geo_specs(nx, ny, ks, B1)) + (
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
         ),
         out_shape=(
@@ -997,23 +1009,13 @@ def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     )(FW_aug,
       *([qcol[:, :, None, :]] * 9),
       *([dcol[:, :, None, :]] * 9),
-      *([geo] * 9),
+      *geo,
       *([gq5] * 9),
       *([gmu5] * 9),
       *halos)
     dxmu = outs[0]
-    ggeo_parts = outs[1:10]
+    ggeo = tuple(outs[1:10])
     gFW = outs[10]
-    # ggeo_c9 written at the SOURCE grid step (xs, ys) belongs to dest
-    # column (xs - dx, ys - dy): shift back and reassemble the packed axis
-    idx = 0
-    shifted = []
-    for dx in (-1, 0, 1):
-        for dy in (-1, 0, 1):
-            shifted.append(
-                jnp.roll(ggeo_parts[idx], (-dx, -dy), axis=(0, 1)))
-            idx += 1
-    ggeo = jnp.concatenate(shifted, axis=3)
     return dxmu.reshape(A, D6), ggeo, gFW
 
 

@@ -101,6 +101,8 @@ def main():
         def chained(x):
             def body(c, _):
                 r = fn(c)
+                if isinstance(r, tuple):
+                    r = r[0]
                 return c + jnp.float32(1e-30) * r.ravel()[0], None
             c, _ = jax.lax.scan(body, x, None, length=iters)
             return jnp.sum(c.ravel()[:1])
@@ -153,7 +155,7 @@ def main():
 
     def geo_fused_vjp(R):
         out, pull = jax.vjp(geo_fused, R)
-        return pull(out * 1e-6)[0]
+        return pull(jax.tree.map(lambda x: x * 1e-6, out))[0]
 
     timed("fused geo kernel fwd+bwd", geo_fused_vjp, Rs)
 
@@ -193,15 +195,17 @@ def main():
         phi = gaussian_rbf(d, centers, widths)
         rbf_aug = jnp.concatenate([phi * fcut[..., None], fcut[..., None]],
                                   axis=-1)
+        from schnetpack_tpu.ops.colblock_geo import split_geo
+
         geo = jnp.concatenate([jnp.moveaxis(rbf_aug, -1, -2),
                                jnp.moveaxis(dirs, -1, -2)], axis=2)
-        return geo
+        return split_geo(geo, refs.ksizes)
 
     timed("geometry chain fwd", geo_chain, Rs)
 
     def geo_vjp(R):
         out, pull = jax.vjp(geo_chain, R)
-        return pull(out * 1e-6)[0]
+        return pull(jax.tree.map(lambda x: x * 1e-6, out))[0]
 
     timed("geometry chain fwd+bwd", geo_vjp, Rs)
 

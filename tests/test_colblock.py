@@ -272,9 +272,11 @@ class TestFusedMessageFM:
             rbf = rbf * jnp.asarray(lay.emask)[..., None]
             dirs = jnp.asarray(rng.randn(*lay.emask.shape, 3), jnp.float32)
             FW = jnp.asarray(rng.randn(9, 3 * F) * 0.3, jnp.float32)
-            geo = jnp.concatenate(
+            from schnetpack_tpu.ops.colblock_geo import concat_geo, split_geo
+
+            geo = split_geo(jnp.concatenate(
                 [jnp.moveaxis(rbf, -1, -2), jnp.moveaxis(dirs, -1, -2)],
-                axis=2)
+                axis=2), refs.ksizes)
 
             def loss_fm(args):
                 x, g, fw = args
@@ -283,7 +285,7 @@ class TestFusedMessageFM:
 
             def loss_ref(args):
                 x, g, fw = args
-                gm = jnp.moveaxis(g, 2, 3)
+                gm = jnp.moveaxis(concat_geo(g), 2, 3)
                 dq, dmu = _painn_message_xla(x, gm[..., :9], gm[..., 9:],
                                              fw, refs)
                 return jnp.sum(jnp.sin(dq)) + jnp.sum(jnp.cos(dmu) * 0.5)
@@ -293,6 +295,8 @@ class TestFusedMessageFM:
             cb.IMPL = "xla"
             v2, g2 = jax.value_and_grad(loss_ref)(args)
             np.testing.assert_allclose(v1, v2, rtol=1e-5, atol=1e-5)
+            g1 = (g1[0], concat_geo(g1[1]), g1[2])
+            g2 = (g2[0], concat_geo(g2[1]), g2[2])
             for n, a, b in zip(["xmu", "geo", "FW"], g1, g2):
                 np.testing.assert_allclose(
                     a, b, rtol=2e-4, atol=2e-4, err_msg=f"grad {n}")
@@ -323,18 +327,25 @@ class TestFusedGeometry:
                                        cutoff)
             geo_x = cg.column_geometry_xla(Rs, coff_fm, refs, centers,
                                            widths, cutoff)
-            np.testing.assert_allclose(geo_k, geo_x, rtol=1e-5, atol=1e-6)
+            assert isinstance(geo_k, tuple) and len(geo_k) == 9
+            for pk, px in zip(geo_k, geo_x):
+                np.testing.assert_allclose(pk, px, rtol=1e-5, atol=1e-6)
 
-            g = jnp.asarray(
-                np.random.RandomState(3).randn(*geo_k.shape), jnp.float32)
+            g = tuple(
+                jnp.asarray(np.random.RandomState(3 + i).randn(*p.shape),
+                            jnp.float32)
+                for i, p in enumerate(geo_k)
+            )
 
             def loss_k(Rv):
-                return jnp.sum(cg.column_geometry(
-                    Rv, coff_fm, refs, centers, widths, cutoff) * g)
+                parts = cg.column_geometry(
+                    Rv, coff_fm, refs, centers, widths, cutoff)
+                return sum(jnp.sum(p * gi) for p, gi in zip(parts, g))
 
             def loss_x(Rv):
-                return jnp.sum(cg.column_geometry_xla(
-                    Rv, coff_fm, refs, centers, widths, cutoff) * g)
+                parts = cg.column_geometry_xla(
+                    Rv, coff_fm, refs, centers, widths, cutoff)
+                return sum(jnp.sum(p * gi) for p, gi in zip(parts, g))
 
             dk = jax.grad(loss_k)(Rs)
             dx = jax.grad(loss_x)(Rs)

@@ -79,8 +79,18 @@ def main():
     # (scripts/precision_study.py, PERF.md): force error 0.75% rms / 1.1%
     # max vs exact-f32, NVE drift statistically identical to f32
     # (-0.0021 vs -0.0018 MD-energy/atom/ps over 3k steps).
+    from schnetpack_tpu.md.neighborlist_md import CellBlockNeighborListMD
+    from schnetpack_tpu.units import _parse_unit, md_units
+
+    # cold ordered FCC box: the tight capacity probe (jitter 0.25*skin)
+    # trims ~10-15% of bucket padding; the grow-on-overflow path keeps
+    # correctness if occupancies ever exceed it
+    conv = _parse_unit("Ang") * md_units().length
+    nbl = CellBlockNeighborListMD(cutoff * conv, skin=0.6 * conv,
+                                  layout="column", jitter_fraction=0.25,
+                                  bucket_headroom=1.0 / 12.0)
     calc = SchNetPackCalculator(
-        pot, params, cutoff=cutoff, cutoff_shell=0.6, neighbor_list="cellblock",
+        pot, params, cutoff=cutoff, cutoff_shell=0.6, neighbor_list=nbl,
         precision="bf16",
     )
     sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False,

@@ -37,7 +37,8 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         stress_key: Optional[str] = None,
         cutoff_shell: float = 0.0,
         required_properties: List[str] = (),
-        neighbor_list: str = "all_pairs",  # "all_pairs" | "dense"
+        neighbor_list="all_pairs",  # "all_pairs" | "dense" | "cellblock"
+                                    # | "cellblock_atom" | an NBL instance
         precision: Optional[str] = None,   # "bf16" | "mixed" | "f32"
     ):
         super().__init__(
@@ -63,7 +64,12 @@ class SchNetPackCalculator(PairwiseMDCalculator):
             from ...ops import cellblock as _cb
 
             _cb.PIECES = {"bf16": 1, "mixed": 2, "f32": 3}[precision]
-        if neighbor_list == "dense":
+        if not isinstance(neighbor_list, str):
+            # a pre-configured NBL instance (reference semantics: the md
+            # configs hand the calculator an NeighborListMD object,
+            # schnetpack_calculator.py:63-79)
+            self.dense_nbl = neighbor_list
+        elif neighbor_list == "dense":
             from ..neighborlist_md import DenseNeighborListMD
 
             # skin = cutoff_shell (model units) converted to MD units

@@ -182,11 +182,24 @@ class CellBlockNeighborListMD:
     """
 
     def __init__(self, cutoff: float, skin: float = 0.6, k_multiple: int = 2,
-                 capacity_headroom: int = 1, layout: str = "column"):
+                 capacity_headroom: int = 1, layout: str = "column",
+                 jitter_fraction: float = 0.5,
+                 bucket_headroom: float = 1.0 / 6.0):
         self.cutoff = float(cutoff)
         self.skin = float(skin)
         self.k_multiple = k_multiple
         self.capacity_headroom = capacity_headroom
+        # first-build capacity probe: per-atom jitter amplitude as a
+        # fraction of the skin.  0.5 (= skin/2) is the worst-case bound
+        # (a rebuild fires before any atom moves farther than skin/2);
+        # ordered/cold systems can use 0.25 to trim ~10-15% of bucket
+        # padding (every message/geometry kernel scales with Ktot) at
+        # the cost of a possible one-time recompile if a bucket later
+        # overflows (the grow path stays correct either way).
+        self.jitter_fraction = float(jitter_fraction)
+        # extra per-bucket slot margin on top of the jitter-probed
+        # occupancy (same tradeoff as jitter_fraction)
+        self.bucket_headroom = float(bucket_headroom)
         self.layout_kind = layout  # "column" (fast kernels) | "atom"
         self._layout = None
         self._dims = None
@@ -303,8 +316,9 @@ class CellBlockNeighborListMD:
                     min_grid=min_grid,
                 )
                 nx0, ny0, P0, ks0 = lay0.dims
+                amp = self.skin * self.jitter_fraction
                 jit = R_build + np.random.RandomState(0).uniform(
-                    -self.skin / 2.0, self.skin / 2.0, R_build.shape
+                    -amp, amp, R_build.shape
                 )
                 try:
                     lay1 = build_column_layout(
@@ -322,8 +336,9 @@ class CellBlockNeighborListMD:
                 if (P_want - 1) // 128 > (_pad8(max(P0, P1)) - 1) // 128:
                     P_want = _pad8(max(P0, P1))
                 self._C = P_want
+                hb = self.bucket_headroom
                 self._K = tuple(
-                    _pad8(max(a, b) + max(16, max(a, b) // 6))
+                    _pad8(max(a, b) + max(16, int(max(a, b) * hb)))
                     for a, b in zip(ks0, ks1)
                 )
             try:
@@ -345,7 +360,7 @@ class CellBlockNeighborListMD:
                 _, _, P2, ks2 = lay2.dims
                 self._C = max(self._C, _pad8(P2 + 8))
                 self._K = tuple(
-                    max(a, _pad8(b + max(16, b // 6)))
+                    max(a, _pad8(b + max(16, int(b * self.bucket_headroom))))
                     for a, b in zip(self._K, ks2)
                 )
                 layout = build_column_layout(

@@ -210,20 +210,25 @@ def _painn_message_xla(xmu, rbf_aug, dir_e, FW_aug, refs):
     return folded[:, :F], folded[:, F:]
 
 
-def painn_message_columns_fm(xmu, geo, FW_aug, refs: ColRefs):
-    """Feature-major fused message: ``geo`` is the 9-part per-bucket tuple
-    from :func:`colblock_geo.column_geometry` — geo_c9 [nx, ny, B1+3, k_c9]
-    packs the augmented radial basis (B1 = n_rbf+1 channels) and the unit
-    direction vectors (3 channels) with the edge axis minor — no (8,128)
-    lane-tile padding in HBM, and per-bucket arrays let the kernels address
-    shifted blocks with index maps instead of rolls."""
+def painn_message_columns_fm(x, mu, geo, FW_aug, refs: ColRefs):
+    """Feature-major fused message.  ``x`` [A', 3F] is the interatomic
+    context (phi(q)), ``mu`` [A', 3F] the flattened vector features —
+    kept as SEPARATE tables so no [A', 6F] concat (and no backward
+    lane-split of its cotangent) is ever materialised.  ``geo`` is the
+    9-part per-bucket tuple from :func:`colblock_geo.column_geometry` —
+    geo_c9 [nx, ny, B1+3, k_c9] packs the augmented radial basis
+    (B1 = n_rbf+1 channels) and the unit direction vectors (3 channels)
+    with the edge axis minor — no (8,128) lane-tile padding in HBM, and
+    per-bucket arrays let the kernels address shifted blocks with index
+    maps instead of rolls."""
     if _cb._impl().startswith("pallas"):
         from .colblock_pallas import painn_message_columns_fm_pallas
 
-        return painn_message_columns_fm_pallas(xmu, geo, FW_aug, refs)
+        return painn_message_columns_fm_pallas(x, mu, geo, FW_aug, refs)
     from .colblock_geo import concat_geo
 
     geo_packed = concat_geo(geo)
     B1 = geo_packed.shape[2] - 3
     g = jnp.moveaxis(geo_packed, 2, 3)
+    xmu = jnp.concatenate([x, mu], axis=-1)
     return _painn_message_xla(xmu, g[..., :B1], g[..., B1:], FW_aug, refs)

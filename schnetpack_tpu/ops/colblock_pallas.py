@@ -546,9 +546,9 @@ def painn_message_columns_pallas(xmu, rbf_aug, dir_e, FW_aug, refs):
 # resident [24, Ktot] block once per grid step (VPU shuffle, ~200 KB) and
 # slices buckets along sublanes.
 
-def _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec):
-    """Shared per-bucket message math: [k, 6F] sources -> [k, 4F] messages."""
-    xj = xmu_j[:, : 3 * F]
+def _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec):
+    """Shared per-bucket message math: [k, 3F]+[k, 3F] sources -> [k, 4F]
+    messages."""
     W = jax.lax.dot_general(
         rbf, FW_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=wprec,
@@ -559,7 +559,7 @@ def _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec):
     dmumu = xjW[:, 2 * F:]
     parts = [dqe]
     for x in range(3):
-        mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+        mujx = mu_j[:, x * F:(x + 1) * F]
         parts.append(dmuR * dirs[:, x:x + 1] + dmumu * mujx)
     return jnp.concatenate(parts, axis=-1)             # [k, 4F]
 
@@ -567,19 +567,21 @@ def _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec):
 def _msg_fm_fwd_kernel(q_ref, d_ref, FW_ref, *args,
                        P, F, B1, ks, pieces):
     geo_refs = args[:9]
-    cols = args[9:9 + 9 * pieces]
-    dq_ref, dmu_ref = args[9 + 9 * pieces:]
+    xcols = args[9:9 + 9 * pieces]
+    mucols = args[9 + 9 * pieces:9 + 18 * pieces]
+    dq_ref, dmu_ref = args[9 + 18 * pieces:]
     offs = _koffs(ks)
     acc = None
     wprec = _w_precision(pieces)
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
         ohj = _oh(q_ref, o0, k, P)
-        xmu_j = _gather_bucket(cols, ohj, c9, pieces)  # [k, 6F]
+        xj = _gather_bucket(xcols, ohj, c9, pieces)    # [k, 3F]
+        mu_j = _gather_bucket(mucols, ohj, c9, pieces)  # [k, 3F]
         geo = geo_refs[c9][0, 0].T                     # [k, B1+3]
         rbf = geo[:, :B1]
         dirs = geo[:, B1:B1 + 3]
-        msg = _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec)
+        msg = _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec)
         ohd = _oh(d_ref, o0, k, P)
         for piece in _split_f32(msg, pieces):
             d = jax.lax.dot_general(
@@ -596,29 +598,36 @@ def _msg_fm_fwd_res_kernel(q_ref, d_ref, FW_ref, *args,
     """Resident-table forward: the whole (bf16-piece) feature table sits
     in VMEM; each grid step slices its 9 source columns from it."""
     geo_refs = args[:9]
-    cols = args[9:9 + pieces]                          # [nx, ny, P, 6F]
-    dq_ref, dmu_ref = args[9 + pieces:]
+    xcols = args[9:9 + pieces]                         # [nx, ny, P, 3F]
+    mucols = args[9 + pieces:9 + 2 * pieces]           # [nx, ny, P, 3F]
+    dq_ref, dmu_ref = args[9 + 2 * pieces:]
     offs = _koffs(ks)
     i = pl.program_id(0)
     j = pl.program_id(1)
     acc = None
     wprec = _w_precision(pieces)
-    for c9, (di, dj) in enumerate(COL_OFFSETS):
-        o0, k = offs[c9], ks[c9]
-        xi = jax.lax.rem(i + di + nx, nx)
-        yj = jax.lax.rem(j + dj + ny, ny)
-        ohj = _oh(q_ref, o0, k, P)
-        xmu_j = None
+
+    def _sel(cols, ohj, xi, yj):
+        acc_s = None
         for p in range(pieces):
             d = jax.lax.dot_general(
                 ohj, cols[p][xi, yj], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            xmu_j = d if xmu_j is None else xmu_j + d
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    for c9, (di, dj) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i + di + nx, nx)
+        yj = jax.lax.rem(j + dj + ny, ny)
+        ohj = _oh(q_ref, o0, k, P)
+        xj = _sel(xcols, ohj, xi, yj)
+        mu_j = _sel(mucols, ohj, xi, yj)
         geo = geo_refs[c9][0, 0].T                     # [k, B1+3]
         rbf = geo[:, :B1]
         dirs = geo[:, B1:B1 + 3]
-        msg = _msg_edge(xmu_j, rbf, dirs, FW_ref, F, wprec)
+        msg = _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec)
         ohd = _oh(d_ref, o0, k, P)
         for piece in _split_f32(msg, pieces):
             d = jax.lax.dot_general(
@@ -637,13 +646,14 @@ def _geo_specs(ks, B1):
     ]
 
 
-def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
+def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
-    A, D6 = xmu.shape
-    F = D6 // 6
+    A, D3 = x.shape
+    F = D3 // 3
     B1 = geo[0].shape[2] - 3
-    if _resident_ok(A * D6 * 2 * pieces):
-        tables = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    if _resident_ok(A * D3 * 4 * pieces):
+        xt = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+        mt = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
         dq, dmu = pl.pallas_call(
             functools.partial(_msg_fm_fwd_res_kernel, nx=nx, ny=ny, P=P,
                               F=F, B1=B1, ks=ks, pieces=pieces),
@@ -653,22 +663,23 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
                 pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
             ] + _geo_specs(ks, B1) + [
-                pl.BlockSpec((nx, ny, P, D6), lambda i, j: (0, 0, 0, 0))
-                for _ in range(pieces)
+                pl.BlockSpec((nx, ny, P, D3), lambda i, j: (0, 0, 0, 0))
+                for _ in range(2 * pieces)
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((nx, ny, P, F), xmu.dtype),
-                jax.ShapeDtypeStruct((nx, ny, P, 3 * F), xmu.dtype),
+                jax.ShapeDtypeStruct((nx, ny, P, F), x.dtype),
+                jax.ShapeDtypeStruct((nx, ny, P, 3 * F), x.dtype),
             ),
             compiler_params=_vmem_params(),
             interpret=_interp(),
-        )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, *geo, *tables)
+        )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, *geo, *xt, *mt)
         return dq.reshape(A, F), dmu.reshape(A, 3 * F)
-    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+    mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
     dq, dmu = pl.pallas_call(
         functools.partial(_msg_fm_fwd_kernel, P=P, F=F, B1=B1, ks=ks,
                           pieces=pieces),
@@ -677,19 +688,21 @@ def _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, pieces):
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-        ] + _geo_specs(ks, B1) + _col_view_specs(nx, ny, P, D6, pieces),
+        ] + _geo_specs(ks, B1) + _col_view_specs(nx, ny, P, D3, pieces)
+        + _col_view_specs(nx, ny, P, D3, pieces),
         out_specs=(
             pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nx, ny, P, F), xmu.dtype),
-            jax.ShapeDtypeStruct((nx, ny, P, 3 * F), xmu.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, F), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, 3 * F), x.dtype),
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, *geo,
-      *[h for h in halos for _ in range(9)])
+      *[h for h in xh for _ in range(9)],
+      *[h for h in mh for _ in range(9)])
     return dq.reshape(A, F), dmu.reshape(A, 3 * F)
 
 
@@ -704,18 +717,31 @@ def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
     geos = args[18:27]
     gqs = args[27:36]
     gmus = args[36:45]
-    cols = args[45:45 + pieces]
-    outs = args[45 + pieces:]
-    dxmu_ref = outs[0]
-    ggeo_refs = outs[1:10]
-    gFW_ref = outs[10]
+    xcols = args[45:45 + pieces]
+    mucols = args[45 + pieces:45 + 2 * pieces]
+    outs = args[45 + 2 * pieces:]
+    dx_ref = outs[0]
+    dmu_ref = outs[1]
+    ggeo_refs = outs[2:11]
+    gFW_ref = outs[11]
     offs = _koffs(ks)
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
         gFW_ref[...] = jnp.zeros_like(gFW_ref)
 
+    def _sel_own(cols, ohj):
+        acc_s = None
+        for piece in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[piece][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
     acc_dx = None
+    acc_dmu = None
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
         ohj = _oh(qs[c9], o0, k, P)
@@ -724,14 +750,8 @@ def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
         rbf = geo[:, :B1]
         dirs = geo[:, B1:B1 + 3]
         # recompute forward intermediates (sources are in MY column)
-        xmu_j = None
-        for piece in range(pieces):
-            d = jax.lax.dot_general(
-                ohj, cols[piece][0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            xmu_j = d if xmu_j is None else xmu_j + d
-        xj = xmu_j[:, : 3 * F]
+        xj = _sel_own(xcols, ohj)
+        mu_j = _sel_own(mucols, ohj)
         W = jax.lax.dot_general(
             rbf, FW_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI,
@@ -754,7 +774,7 @@ def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
         gmuj_parts = []
         for x in range(3):
             gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
-            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            mujx = mu_j[:, x * F:(x + 1) * F]
             t = gmux * dirs[:, x:x + 1]
             gdmuR = t if gdmuR is None else gdmuR + t
             t2 = gmux * mujx
@@ -774,14 +794,21 @@ def _msg_fm_bwd_src_kernel(FW_ref, *args, P, F, B1, ks, pieces):
             rbf, gW, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=HI,
         )
-        gxmu_e = jnp.concatenate([gxj] + gmuj_parts, axis=-1)
-        for piece in _split_f32(gxmu_e, pieces):
+        gmu_e = jnp.concatenate(gmuj_parts, axis=-1)
+        for piece in _split_f32(gxj, pieces):
             d = jax.lax.dot_general(
                 ohj, piece, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_dx = d if acc_dx is None else acc_dx + d  # [P, 6F]
-    dxmu_ref[0, 0] = acc_dx
+            acc_dx = d if acc_dx is None else acc_dx + d   # [P, 3F]
+        for piece in _split_f32(gmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dmu = d if acc_dmu is None else acc_dmu + d  # [P, 3F]
+    dx_ref[0, 0] = acc_dx
+    dmu_ref[0, 0] = acc_dmu
 
 
 def _oh_vec(v, depth):
@@ -799,11 +826,13 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, FW_ref, gq_ref,
     its own column).  The per-bucket geo parts arrive as 9 block refs
     whose index maps already point at the destination column."""
     geos = args[:9]                            # [B1+3, k_c9] dest blocks
-    cols = args[9:9 + pieces]                  # own xmu column views
-    outs = args[9 + pieces:]
-    dxmu_ref = outs[0]
-    ggeo_refs = outs[1:10]
-    gFW_ref = outs[10]
+    xcols = args[9:9 + pieces]                 # own x column views
+    mucols = args[9 + pieces:9 + 2 * pieces]   # own mu column views
+    outs = args[9 + 2 * pieces:]
+    dx_ref = outs[0]
+    dmu_ref = outs[1]
+    ggeo_refs = outs[2:11]
+    gFW_ref = outs[11]
     offs = _koffs(ks)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -813,7 +842,18 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, FW_ref, gq_ref,
     def _():
         gFW_ref[...] = jnp.zeros_like(gFW_ref)
 
+    def _sel_own(cols, ohj):
+        acc_s = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
     acc_dx = None
+    acc_dmu = None
     for c9, (dx, dy) in enumerate(COL_OFFSETS):
         o0, k = offs[c9], ks[c9]
         xi = jax.lax.rem(i - dx + nx, nx)
@@ -826,14 +866,8 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, FW_ref, gq_ref,
         rbf = geoT[:, :B1]
         dirs = geoT[:, B1:B1 + 3]
         # recompute forward intermediates (sources are in MY column)
-        xmu_j = None
-        for p in range(pieces):
-            d = jax.lax.dot_general(
-                ohj, cols[p][0, 0], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            xmu_j = d if xmu_j is None else xmu_j + d
-        xj = xmu_j[:, : 3 * F]
+        xj = _sel_own(xcols, ohj)
+        mu_j = _sel_own(mucols, ohj)
         W = jax.lax.dot_general(
             rbf, FW_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=wprec,
@@ -856,7 +890,7 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, FW_ref, gq_ref,
         gmuj_parts = []
         for x in range(3):
             gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
-            mujx = xmu_j[:, (3 + x) * F:(4 + x) * F]
+            mujx = mu_j[:, x * F:(x + 1) * F]
             t = gmux * dirs[:, x:x + 1]
             gdmuR = t if gdmuR is None else gdmuR + t
             t2 = gmux * mujx
@@ -876,14 +910,21 @@ def _msg_fm_bwd_src_res_kernel(q_ref, d_ref, FW_ref, gq_ref,
             rbf, gW, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=wprec,
         )
-        gxmu_e = jnp.concatenate([gxj] + gmuj_parts, axis=-1)
-        for piece in _split_f32(gxmu_e, pieces):
+        gmu_e = jnp.concatenate(gmuj_parts, axis=-1)
+        for piece in _split_f32(gxj, pieces):
             d = jax.lax.dot_general(
                 ohj, piece, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-            acc_dx = d if acc_dx is None else acc_dx + d  # [P, 6F]
-    dxmu_ref[0, 0] = acc_dx
+            acc_dx = d if acc_dx is None else acc_dx + d   # [P, 3F]
+        for piece in _split_f32(gmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dmu = d if acc_dmu is None else acc_dmu + d  # [P, 3F]
+    dx_ref[0, 0] = acc_dx
+    dmu_ref[0, 0] = acc_dmu
 
 
 def _dest_geo_specs(nx, ny, ks, B1):
@@ -902,13 +943,15 @@ def _dest_geo_specs(nx, ny, ks, B1):
     ]
 
 
-def _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
+def _msg_fm_bwd_res_call(x, mu, geo, FW_aug, qcol, dcol, cots, P, ks,
+                         pieces):
     g_dq, g_dmu = cots
     nx, ny, Ktot = qcol.shape
-    A, D6 = xmu.shape
-    F = D6 // 6
+    A, D3 = x.shape
+    F = D3 // 3
     B1 = geo[0].shape[2] - 3
-    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+    mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
     gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
 
@@ -926,42 +969,46 @@ def _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
             resident((nx, ny, P, F)),              # g_dq
             resident((nx, ny, P, 3 * F)),          # g_dmu
         ] + _dest_geo_specs(nx, ny, ks, B1) + [
-            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
-            for _ in range(pieces)
-        ],                                         # own xmu column pieces
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
+            for _ in range(2 * pieces)
+        ],                                         # own x / mu pieces
         out_specs=(
-            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
         ) + tuple(_dest_geo_specs(nx, ny, ks, B1)) + (
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nx, ny, P, D6), xmu.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
         ) + tuple(
-            jax.ShapeDtypeStruct((nx, ny, B1 + 3, k), xmu.dtype)
+            jax.ShapeDtypeStruct((nx, ny, B1 + 3, k), x.dtype)
             for k in ks
         ) + (
-            jax.ShapeDtypeStruct((B1, 3 * F), xmu.dtype),
+            jax.ShapeDtypeStruct((B1, 3 * F), x.dtype),
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5,
-      *geo, *halos)
-    dxmu = outs[0]
-    ggeo = tuple(outs[1:10])
-    gFW = outs[10]
-    return dxmu.reshape(A, D6), ggeo, gFW
+      *geo, *xh, *mh)
+    dx = outs[0]
+    dmu = outs[1]
+    ggeo = tuple(outs[2:11])
+    gFW = outs[11]
+    return dx.reshape(A, D3), dmu.reshape(A, D3), ggeo, gFW
 
 
-def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
+def _msg_fm_bwd_call(x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     g_dq, g_dmu = cots
     nx, ny, Ktot = qcol.shape
-    A, D6 = xmu.shape
-    F = D6 // 6
+    A, D3 = x.shape
+    F = D3 // 3
     B1 = geo[0].shape[2] - 3
     if _resident_ok(A * 4 * F * 4, 2 * qcol.size * 4):
-        return _msg_fm_bwd_res_call(xmu, geo, FW_aug, qcol, dcol, cots,
+        return _msg_fm_bwd_res_call(x, mu, geo, FW_aug, qcol, dcol, cots,
                                     P, ks, pieces)
-    halos = [_cols(p, nx, ny, P) for p in _split_f32(xmu, pieces)]
+    xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+    mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
     gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
 
@@ -989,20 +1036,22 @@ def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
         + _dest_geo_specs(nx, ny, ks, B1)        # geo parts
         + dest_specs((1, 1, P, F))               # g_dq
         + dest_specs((1, 1, P, 3 * F))           # g_dmu
-        + [pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0))
-           for _ in range(pieces)],              # own xmu column pieces
+        + [pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
+           for _ in range(2 * pieces)],          # own x / mu pieces
         out_specs=(
-            pl.BlockSpec((1, 1, P, D6), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
         ) + tuple(_dest_geo_specs(nx, ny, ks, B1)) + (
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nx, ny, P, D6), xmu.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
         ) + tuple(
-            jax.ShapeDtypeStruct((nx, ny, B1 + 3, k), xmu.dtype)
+            jax.ShapeDtypeStruct((nx, ny, B1 + 3, k), x.dtype)
             for k in ks
         ) + (
-            jax.ShapeDtypeStruct((B1, 3 * F), xmu.dtype),
+            jax.ShapeDtypeStruct((B1, 3 * F), x.dtype),
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
@@ -1012,34 +1061,37 @@ def _msg_fm_bwd_call(xmu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
       *geo,
       *([gq5] * 9),
       *([gmu5] * 9),
-      *halos)
-    dxmu = outs[0]
-    ggeo = tuple(outs[1:10])
-    gFW = outs[10]
-    return dxmu.reshape(A, D6), ggeo, gFW
+      *xh, *mh)
+    dx = outs[0]
+    dmu = outs[1]
+    ggeo = tuple(outs[2:11])
+    gFW = outs[11]
+    return dx.reshape(A, D3), dmu.reshape(A, D3), ggeo, gFW
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _painn_message_fm_p(xmu, geo, FW_aug, qcol, dcol, P, ks):
-    return _msg_fm_fwd_call(xmu, geo, FW_aug, qcol, dcol, P, ks, _cb.PIECES)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _painn_message_fm_p(x, mu, geo, FW_aug, qcol, dcol, P, ks):
+    return _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks,
+                            _cb.PIECES)
 
 
-def _pmfm_fwd(xmu, geo, FW_aug, qcol, dcol, P, ks):
-    out = _painn_message_fm_p(xmu, geo, FW_aug, qcol, dcol, P, ks)
-    return out, (xmu, geo, FW_aug, qcol, dcol)
+def _pmfm_fwd(x, mu, geo, FW_aug, qcol, dcol, P, ks):
+    out = _painn_message_fm_p(x, mu, geo, FW_aug, qcol, dcol, P, ks)
+    return out, (x, mu, geo, FW_aug, qcol, dcol)
 
 
 def _pmfm_bwd(P, ks, res, cots):
-    xmu, geo, FW_aug, qcol, dcol = res
-    dxmu, ggeo, gFW = _msg_fm_bwd_call(
-        xmu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
-    return dxmu, ggeo, gFW, None, None
+    x, mu, geo, FW_aug, qcol, dcol = res
+    dx, dmu, ggeo, gFW = _msg_fm_bwd_call(
+        x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+    return dx, dmu, ggeo, gFW, None, None
 
 
 _painn_message_fm_p.defvjp(_pmfm_fwd, _pmfm_bwd)
 
 
-def painn_message_columns_fm_pallas(xmu, geo, FW_aug, refs):
-    """Feature-major fused message: geo = [nx, ny, B1+3, Ktot]."""
-    return _painn_message_fm_p(xmu, geo, FW_aug, refs.qcol, refs.dcol,
+def painn_message_columns_fm_pallas(x, mu, geo, FW_aug, refs):
+    """Feature-major fused message: x/mu [A', 3F] feature tables, geo =
+    the 9-part per-bucket tuple from column_geometry."""
+    return _painn_message_fm_p(x, mu, geo, FW_aug, refs.qcol, refs.dcol,
                                refs.P, refs.ksizes)

@@ -57,15 +57,15 @@ class PaiNNInteraction(nn.Module):
         if fused_ctx is not None:
             # blocked layouts: gather + filter + message + neighbor-sum run
             # as one fused kernel; no [A, K, 3F] tensor is ever materialised
-            xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
             if fused_ctx[0] == "column_fm":
                 from ..ops.colblock import painn_message_columns_fm
 
                 _, geo, FW_aug, refs = fused_ctx
                 dq_sum, dmu_sum = painn_message_columns_fm(
-                    xmu, geo, FW_aug, refs
+                    x, mu.reshape(A, 3 * F), geo, FW_aug, refs
                 )
             elif fused_ctx[0] == "column":
+                xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
                 from ..ops.colblock import painn_message_columns
 
                 _, rbf_aug, FW_aug, refs = fused_ctx
@@ -75,6 +75,7 @@ class PaiNNInteraction(nn.Module):
             else:
                 from ..ops.painn_fused import painn_message_cellblock
 
+                xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
                 _, rbf_aug, FW_aug, cell_qidx = fused_ctx
                 dq_sum, dmu_sum = painn_message_cellblock(
                     xmu, rbf_aug, dir_ij, FW_aug, cell_qidx

@@ -219,7 +219,7 @@ def main():
     def msg3(xmu):
         q = xmu[:, :128]
         for _ in range(3):
-            dq, dmu = painn_message_columns_fm(xmu, geo0, FW_aug, refs)
+            dq, dmu = painn_message_columns_fm(xmu[:, :384], xmu[:, 384:], geo0, FW_aug, refs)
             q = q + dq
             xmu = xmu + jnp.concatenate([dmu, dmu], axis=-1) * 1e-3
         return q
@@ -238,7 +238,7 @@ def main():
         q = None
         xmu = xmu0
         for _ in range(3):
-            dq, dmu = painn_message_columns_fm(xmu, geo, FW_aug, refs)
+            dq, dmu = painn_message_columns_fm(xmu[:, :384], xmu[:, 384:], geo, FW_aug, refs)
             q = dq if q is None else q + dq
             xmu = xmu + jnp.concatenate([dmu, dmu], axis=-1) * 1e-3
         return q

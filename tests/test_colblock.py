@@ -280,7 +280,9 @@ class TestFusedMessageFM:
 
             def loss_fm(args):
                 x, g, fw = args
-                dq, dmu = painn_message_columns_fm(x, g, fw, refs)
+                F3 = x.shape[1] // 2
+                dq, dmu = painn_message_columns_fm(
+                    x[:, :F3], x[:, F3:], g, fw, refs)
                 return jnp.sum(jnp.sin(dq)) + jnp.sum(jnp.cos(dmu) * 0.5)
 
             def loss_ref(args):

@@ -554,6 +554,7 @@ def build_column_layout(
         best = None
         for floor_g in dict.fromkeys((lo, 1)):
             best_cost = None
+            stale = 0
             for g in range(int(max(n_max[0], n_max[1])), 0, -1):
                 cand = np.minimum(n_max, [g, g, 1])
                 if cand[0] < floor_g or cand[1] < floor_g:
@@ -566,6 +567,15 @@ def build_column_layout(
                 cost = ncol * Ktot_c * P_c + 50 * ncol * P_c
                 if best_cost is None or cost < best_cost * 0.98:
                     best, best_cost = cand, cost
+                    stale = 0
+                else:
+                    # cost is ~U-shaped in the grid size: once it stops
+                    # improving for a few candidates, coarser grids only
+                    # get worse — stop re-binning all atoms and edges per
+                    # candidate (O(g_max * (A+E)) host time otherwise)
+                    stale += 1
+                    if stale >= 4:
+                        break
                 if ncol == 1:
                     break
             if best is not None:

@@ -232,3 +232,18 @@ def painn_message_columns_fm(x, mu, geo, FW_aug, refs: ColRefs):
     g = jnp.moveaxis(geo_packed, 2, 3)
     xmu = jnp.concatenate([x, mu], axis=-1)
     return _painn_message_xla(xmu, g[..., :B1], g[..., B1:], FW_aug, refs)
+
+
+def painn_message_columns_fm_fused(x, mu, R, geo, FW_aug, coff_fm, cw,
+                                   refs: ColRefs, rc):
+    """Feature-major message whose BACKWARD also applies the geometry
+    chain in-kernel, emitting dE/dR directly (no ggeo HBM round trip, no
+    separate geometry-backward kernel).  Only valid when ``geo`` was
+    computed by ``column_geometry`` from the same (R, coff_fm, cw, rc)
+    with raw_phi=False — the caller must pass ``geo`` through
+    ``jax.lax.stop_gradient`` so the R-path exists only through this op.
+    """
+    from .colblock_pallas import painn_message_columns_fm_fused_pallas
+
+    return painn_message_columns_fm_fused_pallas(
+        x, mu, R, geo, FW_aug, coff_fm, cw, refs, rc)

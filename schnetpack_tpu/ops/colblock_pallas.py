@@ -23,6 +23,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -1095,3 +1096,323 @@ def painn_message_columns_fm_pallas(x, mu, geo, FW_aug, refs):
     the 9-part per-bucket tuple from column_geometry."""
     return _painn_message_fm_p(x, mu, geo, FW_aug, refs.qcol, refs.dcol,
                                refs.P, refs.ksizes)
+
+
+# ------------------- fused message + geometry backward (force path)
+# The standard path stores per-edge geometry cotangents ggeo (9 x
+# [nx, ny, B1+3, k]) to HBM per interaction and runs a separate geometry
+# backward kernel over them.  For the MD force path (non-trainable
+# Gaussian RBF + cosine cutoff), this fused backward recomputes the
+# geometry chain per bucket IN VMEM (positions -> rij -> d/dir/fcut/phi,
+# two extra depth-P selection dots of width 3) and chains the per-edge
+# geometry cotangents straight to position cotangents, folded with the
+# already-present one-hots: the ggeo HBM round trip and the geometry
+# backward kernel disappear from the step.
+
+_POSP = 3  # bf16 split pieces for exact-f32 position selection
+
+
+def _msg_fm_bwd_fused_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
+                             cw_ref, coff_ref, *args,
+                             nx, ny, P, F, B, ks, rc, pieces):
+    pos_own = args[:_POSP]
+    pos_dest = args[_POSP:_POSP + 9 * _POSP]
+    xcols = args[_POSP + 9 * _POSP:_POSP + 9 * _POSP + pieces]
+    mucols = args[_POSP + 9 * _POSP + pieces:
+                  _POSP + 9 * _POSP + 2 * pieces]
+    outs = args[_POSP + 9 * _POSP + 2 * pieces:]
+    dx_ref = outs[0]
+    dmu_ref = outs[1]
+    gRo_ref = outs[2]
+    gRd_refs = outs[3:12]
+    gFW_ref = outs[12]
+    offs = _koffs(ks)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wprec = _w_precision(pieces)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+
+    def _sel_own(cols, ohj):
+        acc_s = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    def _sel_pos3(piece_refs, oh):
+        # exact-f32 [3, k] = sum_p piece [3, P] x one-hot [k, P]
+        acc_s = None
+        for p in piece_refs:
+            d = jax.lax.dot_general(
+                p[0, 0], oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    acc_dx = None
+    acc_dmu = None
+    acc_gRo = None
+    for c9, (dx, dy) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i - dx + nx, nx)
+        yj = jax.lax.rem(j - dy + ny, ny)
+        qv = q_ref[xi, yj, 0, o0:o0 + k]
+        dv = d_ref[xi, yj, 0, o0:o0 + k]
+        ohj = _oh_vec(qv, P)
+        ohd = _oh_vec(dv, P)
+        emaskT = (qv >= 0).astype(jnp.float32)[None, :]        # [1, k]
+        # ---- geometry recompute (channel-major [ch, k], exact f32) ----
+        RjT = _sel_pos3(pos_own, ohj)
+        RiT = _sel_pos3([pos_dest[p * 9 + c9] for p in range(_POSP)], ohd)
+        rijT = (RjT + coff_ref[xi, yj, :, o0:o0 + k] - RiT) * emaskT
+        d2 = jnp.sum(rijT * rijT, axis=0, keepdims=True)
+        dd = jnp.sqrt(d2 + (1.0 - emaskT))
+        inv_d = 1.0 / dd
+        dirsT = rijT * inv_d
+        fc = 0.5 * (jnp.cos(dd * (np.pi / rc)) + 1.0)
+        fcutT = jnp.where(dd < rc, fc, 0.0) * emaskT           # [1, k]
+        centers = cw_ref[:, 0:1]
+        coeff = cw_ref[:, 1:2]
+        diff = dd - centers                                    # [B, k]
+        phi = jnp.exp(coeff * diff * diff)
+        rbf = jnp.concatenate([phi * fcutT, fcutT], axis=0).T  # [k, B+1]
+        dirs = dirsT.T                                         # [k, 3]
+        # ---- message backward (same math as the unfused kernel) -------
+        xj = _sel_own(xcols, ohj)
+        mu_j = _sel_own(mucols, ohj)
+        W = jax.lax.dot_general(
+            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        xjW = xj * W
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        gcat = jnp.concatenate([gq_ref[xi, yj], gmu_ref[xi, yj]], axis=-1)
+        gmsg = None
+        for piece in _split_f32(gcat, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gmsg = d if gmsg is None else gmsg + d             # [k, 4F]
+        gqe = gmsg[:, :F]
+        gdmuR = None
+        gdmumu = None
+        gdir_parts = []
+        gmuj_parts = []
+        for x in range(3):
+            gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
+            mujx = mu_j[:, x * F:(x + 1) * F]
+            t = gmux * dirs[:, x:x + 1]
+            gdmuR = t if gdmuR is None else gdmuR + t
+            t2 = gmux * mujx
+            gdmumu = t2 if gdmumu is None else gdmumu + t2
+            gmuj_parts.append(gmux * dmumu)
+            gdir_parts.append(jnp.sum(gmux * dmuR, axis=-1, keepdims=True))
+        gxjW = jnp.concatenate([gqe, gdmuR, gdmumu], axis=-1)
+        gxj = gxjW * W
+        gW = gxjW * xj
+        grbf = jax.lax.dot_general(
+            gW, FW_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )                                                      # [k, B+1]
+        gFW_ref[...] += jax.lax.dot_general(
+            rbf, gW, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        gmu_e = jnp.concatenate(gmuj_parts, axis=-1)
+        for piece in _split_f32(gxj, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dx = d if acc_dx is None else acc_dx + d
+        for piece in _split_f32(gmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dmu = d if acc_dmu is None else acc_dmu + d
+        # ---- geometry cotangent -> position cotangent -----------------
+        grbfT = grbf.T                                         # [B+1, k]
+        gphi_fc = grbfT[:B]
+        gfc = grbfT[B:B + 1]
+        gdirT = jnp.concatenate(gdir_parts, axis=-1).T         # [3, k]
+        dphi_dd = 2.0 * coeff * diff * phi
+        fp = -0.5 * (np.pi / rc) * jnp.sin(dd * (np.pi / rc))
+        dfcut_dd = jnp.where(dd < rc, fp, 0.0) * emaskT
+        gd = (
+            jnp.sum(gphi_fc * dphi_dd, axis=0, keepdims=True) * fcutT
+            + (jnp.sum(gphi_fc * phi, axis=0, keepdims=True) + gfc)
+            * dfcut_dd
+        )
+        gdr = jnp.sum(gdirT * rijT, axis=0, keepdims=True)
+        grijT = (gdirT * inv_d - rijT * (gdr * inv_d * inv_d * inv_d)
+                 + gd * dirsT) * emaskT                        # [3, k]
+        own = None
+        dst = None
+        for piece in _split_f32(grijT, _POSP):
+            a = jax.lax.dot_general(
+                piece, ohj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            own = a if own is None else own + a                # [3, P]
+            b = jax.lax.dot_general(
+                piece, ohd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dst = b if dst is None else dst + b
+        acc_gRo = own if acc_gRo is None else acc_gRo + own
+        gRd_refs[c9][0, 0] = -dst
+    dx_ref[0, 0] = acc_dx
+    dmu_ref[0, 0] = acc_dmu
+    gRo_ref[0, 0] = acc_gRo
+
+
+def _msg_fm_bwd_fused_call(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol,
+                           cots, P, ks, rc, pieces):
+    from .colblock_geo import _posT_pieces
+
+    g_dq, g_dmu = cots
+    nx, ny, Ktot = qcol.shape
+    A, D3 = x.shape
+    F = D3 // 3
+    B = cw.shape[0]
+    B1 = B + 1
+    xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+    mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
+    pos_pieces = _posT_pieces(R, nx, ny, P)
+    gq5 = g_dq.reshape(nx, ny, P, F)
+    gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
+
+    def resident(shape4):
+        return pl.BlockSpec(shape4, lambda i, j: (0, 0, 0, 0))
+
+    def dest_pos_specs():
+        return [
+            pl.BlockSpec(
+                (1, 1, 3, P),
+                functools.partial(
+                    lambda i, j, dx, dy: ((i - dx) % nx, (j - dy) % ny, 0, 0),
+                    dx=dx, dy=dy,
+                ),
+            )
+            for _ in range(_POSP)
+            for dx, dy in COL_OFFSETS
+        ]
+
+    gRd_specs = [
+        pl.BlockSpec(
+            (1, 1, 3, P),
+            functools.partial(
+                lambda i, j, dx, dy: ((i - dx) % nx, (j - dy) % ny, 0, 0),
+                dx=dx, dy=dy,
+            ),
+        )
+        for dx, dy in COL_OFFSETS
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_msg_fm_bwd_fused_kernel, nx=nx, ny=ny, P=P,
+                          F=F, B=B, ks=ks, rc=rc, pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            resident((nx, ny, 1, Ktot)),           # qcol
+            resident((nx, ny, 1, Ktot)),           # dcol
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            resident((nx, ny, P, F)),              # g_dq
+            resident((nx, ny, P, 3 * F)),          # g_dmu
+            pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
+            resident((nx, ny, 3, Ktot)),           # coff_fm
+        ] + [
+            pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0))
+            for _ in range(_POSP)
+        ] + dest_pos_specs() + [
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
+            for _ in range(2 * pieces)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0)),
+        ) + tuple(gRd_specs) + (
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype),
+        ) + tuple(
+            jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype) for _ in range(9)
+        ) + (
+            jax.ShapeDtypeStruct((B1, 3 * F), x.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5,
+      cw, coff_fm,
+      *[p for p in pos_pieces],
+      *[p for p in pos_pieces for _ in range(9)],
+      *xh, *mh)
+    dx = outs[0]
+    dmu = outs[1]
+    gRT = outs[2]
+    for p in outs[3:12]:
+        gRT = gRT + p
+    gFW = outs[12]
+    dR = jnp.moveaxis(gRT, 2, 3).reshape(A, 3)
+    return dx.reshape(A, D3), dmu.reshape(A, D3), dR, gFW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _painn_message_fm_fused_p(x, mu, R, geo, FW_aug, coff_fm, cw, qcol,
+                              dcol, P, ks, rc):
+    return _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks,
+                            _cb.PIECES)
+
+
+def _pmff_fwd(x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, P, ks, rc):
+    out = _painn_message_fm_fused_p(x, mu, R, geo, FW_aug, coff_fm, cw,
+                                    qcol, dcol, P, ks, rc)
+    return out, (x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol)
+
+
+def _pmff_bwd(P, ks, rc, res, cots):
+    x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol = res
+    if _resident_ok(x.shape[0] * 4 * (x.shape[1] // 3) * 4,
+                    2 * qcol.size * 4):
+        dx, dmu, dR, gFW = _msg_fm_bwd_fused_call(
+            x, mu, R, FW_aug, coff_fm, cw, qcol, dcol, cots, P, ks, rc,
+            _cb.PIECES)
+    else:
+        # non-resident fallback: unfused message bwd + geometry bwd
+        from .colblock_geo import _geo_bwd_call
+
+        dx, dmu, ggeo, gFW = _msg_fm_bwd_call(
+            x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+        dR = _geo_bwd_call(ggeo, R, coff_fm, qcol, dcol, cw, P, ks, rc,
+                           False)
+    # geo enters stop-gradiented (the R path exists only through this
+    # op); its zero cotangent is dead code the compiler removes
+    zgeo = jax.tree.map(jnp.zeros_like, geo)
+    return dx, dmu, dR, zgeo, gFW, None, None, None, None
+
+
+_painn_message_fm_fused_p.defvjp(_pmff_fwd, _pmff_bwd)
+
+
+def painn_message_columns_fm_fused_pallas(x, mu, R, geo, FW_aug, coff_fm,
+                                          cw, refs, rc):
+    """Message forward on precomputed geo, with a FUSED message+geometry
+    backward that emits position cotangents directly (geo enters as a
+    non-differentiated input: pass it through jax.lax.stop_gradient)."""
+    return _painn_message_fm_fused_p(x, mu, R, geo, FW_aug, coff_fm, cw,
+                                     refs.qcol, refs.dcol, refs.P,
+                                     refs.ksizes, rc)

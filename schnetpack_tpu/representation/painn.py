@@ -57,7 +57,18 @@ class PaiNNInteraction(nn.Module):
         if fused_ctx is not None:
             # blocked layouts: gather + filter + message + neighbor-sum run
             # as one fused kernel; no [A, K, 3F] tensor is ever materialised
-            if fused_ctx[0] == "column_fm":
+            if fused_ctx[0] == "column_fm_fused":
+                # fused message+geometry backward: position cotangents come
+                # straight out of the message kernels (geo is
+                # stop-gradiented; the R path exists only through the op)
+                from ..ops.colblock import painn_message_columns_fm_fused
+
+                _, geo_sg, FW_aug, refs, R_tab, coff_fm, cw, rc = fused_ctx
+                dq_sum, dmu_sum = painn_message_columns_fm_fused(
+                    x, mu.reshape(A, 3 * F), R_tab, geo_sg, FW_aug,
+                    coff_fm, cw, refs, rc
+                )
+            elif fused_ctx[0] == "column_fm":
                 from ..ops.colblock import painn_message_columns_fm
 
                 _, geo, FW_aug, refs = fused_ctx
@@ -234,6 +245,11 @@ class PaiNN(nn.Module):
                     inputs[properties.R], inputs[properties.cell_coff_fm],
                     col_refs, centers, widths, cutoff_fn.cutoff,
                 )
+                _dt = inputs[properties.R].dtype
+                geo_cw = jnp.stack([
+                    jnp.asarray(centers, _dt),
+                    -0.5 / jnp.square(jnp.asarray(widths, _dt)),
+                ], axis=1)
                 d_ij = dir_ij = fcut = None
             else:
                 Rij = inputs[properties.col_rij]           # [nx,ny,9,Kcol,3]
@@ -285,8 +301,20 @@ class PaiNN(nn.Module):
                     [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
                 )
                 if fused_geo is not None:
-                    fused_ctx_list.append(
-                        ("column_fm", fused_geo, FW_aug, col_refs))
+                    from ..ops import cellblock as _cbmod
+
+                    if _cbmod._impl().startswith("pallas"):
+                        # pallas path: fused message+geometry backward
+                        fused_ctx_list.append((
+                            "column_fm_fused",
+                            jax.lax.stop_gradient(fused_geo), FW_aug,
+                            col_refs, inputs[properties.R],
+                            inputs[properties.cell_coff_fm], geo_cw,
+                            float(cutoff_fn.cutoff),
+                        ))
+                    else:
+                        fused_ctx_list.append(
+                            ("column_fm", fused_geo, FW_aug, col_refs))
                 elif col_refs is not None and col_refs.shard_axis is None:
                     # feature-major packed geometry (edge axis minor),
                     # split into the 9 per-bucket parts the fm kernels take

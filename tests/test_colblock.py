@@ -467,3 +467,65 @@ class TestReplicaColumnPath:
         sim = Simulator(system, VelocityVerlet(0.5), calc, progress=False)
         sim.simulate(10, chunk_size=5)
         assert np.isfinite(np.asarray(sim.system.positions)).all()
+
+
+class TestFusedGeometryBackward:
+    """The fused message+geometry backward (position cotangents straight
+    out of the message kernel) must match the unfused composition
+    (message bwd -> ggeo -> geometry bwd) to f32 roundoff."""
+
+    def test_fused_bwd_matches_composition(self):
+        from schnetpack_tpu.ops import colblock_geo as cg
+        from schnetpack_tpu.ops.colblock import (
+            painn_message_columns_fm, painn_message_columns_fm_fused,
+        )
+        from schnetpack_tpu.ops.radial import gaussian_rbf_params
+
+        old_impl, old_pieces = cb.IMPL, cb.PIECES
+        cb.IMPL, cb.PIECES = "pallas_interpret", 3
+        try:
+            rng = np.random.RandomState(0)
+            R = rng.uniform(0, 10.0, (90, 3))
+            cell = np.eye(3) * 10.0
+            cutoff = 3.0
+            lay = build_column_layout(R, 3.4, cell, np.ones(3, bool))
+            refs = ColRefs.from_layout(lay)
+            Ap = len(lay.order)
+            Rs = jnp.asarray(R[lay.order], jnp.float32) * jnp.asarray(
+                lay.slot_mask)[:, None]
+            coff_fm = jnp.asarray(
+                np.moveaxis(lay.offcol, -1, 2), jnp.float32)
+            centers, widths = gaussian_rbf_params(12, cutoff, 0.0)
+            cw = jnp.stack([
+                jnp.asarray(centers, jnp.float32),
+                -0.5 / jnp.square(jnp.asarray(widths, jnp.float32)),
+            ], axis=1)
+            F = 32
+            x0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            mu0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            FW = jnp.asarray(rng.randn(13, 3 * F) * 0.3, jnp.float32)
+
+            def loss_ref(args):
+                x, mu, Rv, fw = args
+                geo = cg.column_geometry(
+                    Rv, coff_fm, refs, centers, widths, cutoff)
+                dq, dmu = painn_message_columns_fm(x, mu, geo, fw, refs)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
+            def loss_fused(args):
+                x, mu, Rv, fw = args
+                geo = jax.lax.stop_gradient(cg.column_geometry(
+                    Rv, coff_fm, refs, centers, widths, cutoff))
+                dq, dmu = painn_message_columns_fm_fused(
+                    x, mu, Rv, geo, fw, coff_fm, cw, refs, cutoff)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
+            args = (x0, mu0, Rs, FW)
+            v1, g1 = jax.value_and_grad(loss_ref)(args)
+            v2, g2 = jax.value_and_grad(loss_fused)(args)
+            np.testing.assert_allclose(v1, v2, rtol=1e-6)
+            for n, a, b in zip(["x", "mu", "R", "FW"], g1, g2):
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-4, atol=1e-5, err_msg=f"grad {n}")
+        finally:
+            cb.IMPL, cb.PIECES = old_impl, old_pieces

@@ -247,3 +247,16 @@ def painn_message_columns_fm_fused(x, mu, R, geo, FW_aug, coff_fm, cw,
 
     return painn_message_columns_fm_fused_pallas(
         x, mu, R, geo, FW_aug, coff_fm, cw, refs, rc)
+
+
+def painn_message_columns_full_fused(x, mu, R, FW_aug, coff_fm, cw,
+                                     refs: ColRefs, rc):
+    """Fully fused message (pallas only): the per-edge geometry is
+    recomputed inside both the forward and backward kernels from the
+    positions — no geo tensors, no geometry kernels in the step at all.
+    Valid for the production MD path (non-trainable Gaussian RBF +
+    cosine cutoff, raw_phi=False)."""
+    from .colblock_pallas import painn_message_columns_full_fused_pallas
+
+    return painn_message_columns_full_fused_pallas(
+        x, mu, R, FW_aug, coff_fm, cw, refs, rc)

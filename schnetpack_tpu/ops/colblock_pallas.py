@@ -1416,3 +1416,193 @@ def painn_message_columns_fm_fused_pallas(x, mu, R, geo, FW_aug, coff_fm,
     return _painn_message_fm_fused_p(x, mu, R, geo, FW_aug, coff_fm, cw,
                                      refs.qcol, refs.dcol, refs.P,
                                      refs.ksizes, rc)
+
+
+# --------------------- fully fused forward (geometry recomputed in-kernel)
+# With the backward already geometry-fused, recomputing the geometry in
+# the message FORWARD kernels as well (same two width-3 selection dots +
+# VPU chain) makes the geo tensors and the separate geometry forward
+# kernel disappear from the PaiNN column path entirely: per step the only
+# per-edge data in HBM are the static layout indices.
+
+
+def _msg_fm_fwd_fused_kernel(q_ref, d_ref, FW_ref, cw_ref, coff_ref,
+                             *args, nx, ny, P, F, B, ks, rc, pieces):
+    pos_own = args[:_POSP]
+    pos_src = args[_POSP:_POSP + 9 * _POSP]
+    xcols = args[_POSP + 9 * _POSP:_POSP + 9 * _POSP + pieces]
+    mucols = args[_POSP + 9 * _POSP + pieces:
+                  _POSP + 9 * _POSP + 2 * pieces]
+    dq_ref, dmu_ref = args[_POSP + 9 * _POSP + 2 * pieces:]
+    offs = _koffs(ks)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    acc = None
+    wprec = _w_precision(pieces)
+
+    def _sel(cols, ohj, xi, yj):
+        acc_s = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    def _sel_pos3(piece_refs, oh):
+        acc_s = None
+        for p in piece_refs:
+            d = jax.lax.dot_general(
+                p[0, 0], oh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    for c9, (di, dj) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i + di + nx, nx)
+        yj = jax.lax.rem(j + dj + ny, ny)
+        qv = q_ref[0, 0, 0, o0:o0 + k]
+        dv = d_ref[0, 0, 0, o0:o0 + k]
+        ohj = _oh_vec(qv, P)
+        ohd = _oh_vec(dv, P)
+        emaskT = (qv >= 0).astype(jnp.float32)[None, :]
+        # geometry recompute (channel-major [ch, k], exact f32)
+        RjT = _sel_pos3([pos_src[p * 9 + c9] for p in range(_POSP)], ohj)
+        RiT = _sel_pos3(pos_own, ohd)
+        rijT = (RjT + coff_ref[0, 0, :, o0:o0 + k] - RiT) * emaskT
+        d2 = jnp.sum(rijT * rijT, axis=0, keepdims=True)
+        dd = jnp.sqrt(d2 + (1.0 - emaskT))
+        dirsT = rijT / dd
+        fc = 0.5 * (jnp.cos(dd * (np.pi / rc)) + 1.0)
+        fcutT = jnp.where(dd < rc, fc, 0.0) * emaskT
+        centers = cw_ref[:, 0:1]
+        coeff = cw_ref[:, 1:2]
+        diff = dd - centers
+        phi = jnp.exp(coeff * diff * diff)
+        rbf = jnp.concatenate([phi * fcutT, fcutT], axis=0).T  # [k, B+1]
+        dirs = dirsT.T
+        # message
+        xj = _sel(xcols, ohj, xi, yj)
+        mu_j = _sel(mucols, ohj, xi, yj)
+        msg = _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec)
+        for piece in _split_f32(msg, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc = d if acc is None else acc + d
+    dq_ref[0, 0] = acc[:, :F]
+    dmu_ref[0, 0] = acc[:, F:]
+
+
+def _msg_fm_fwd_fused_call(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol,
+                           P, ks, rc, pieces):
+    from .colblock_geo import _posT_pieces
+
+    nx, ny, Ktot = qcol.shape
+    A, D3 = x.shape
+    F = D3 // 3
+    B = cw.shape[0]
+    B1 = B + 1
+    xt = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+    mt = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
+    pos_pieces = _posT_pieces(R, nx, ny, P)
+
+    def src_pos_specs():
+        return [
+            pl.BlockSpec(
+                (1, 1, 3, P),
+                functools.partial(
+                    lambda i, j, di, dj: ((i + di) % nx, (j + dj) % ny, 0, 0),
+                    di=di, dj=dj,
+                ),
+            )
+            for _ in range(_POSP)
+            for di, dj in COL_OFFSETS
+        ]
+
+    dq, dmu = pl.pallas_call(
+        functools.partial(_msg_fm_fwd_fused_kernel, nx=nx, ny=ny, P=P,
+                          F=F, B=B, ks=ks, rc=rc, pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, 1, 3, Ktot), lambda i, j: (i, j, 0, 0)),
+        ] + [
+            pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0))
+            for _ in range(_POSP)
+        ] + src_pos_specs() + [
+            pl.BlockSpec((nx, ny, P, D3), lambda i, j: (0, 0, 0, 0))
+            for _ in range(2 * pieces)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, F), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, 3 * F), x.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, cw, coff_fm,
+      *[p for p in pos_pieces],
+      *[p for p in pos_pieces for _ in range(9)],
+      *xt, *mt)
+    return dq.reshape(A, F), dmu.reshape(A, 3 * F)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def _painn_message_full_fused_p(x, mu, R, FW_aug, coff_fm, cw, qcol,
+                                dcol, P, ks, rc):
+    if _resident_ok(x.shape[0] * x.shape[1] * 4 * _cb.PIECES):
+        return _msg_fm_fwd_fused_call(x, mu, R, FW_aug, coff_fm, cw,
+                                      qcol, dcol, P, ks, rc, _cb.PIECES)
+    # non-resident fallback: geometry kernel + standard fwd
+    from .colblock_geo import _geo_fwd_call
+
+    geo = _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, False)
+    return _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks,
+                            _cb.PIECES)
+
+
+def _pmffu_fwd(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol, P, ks, rc):
+    out = _painn_message_full_fused_p(x, mu, R, FW_aug, coff_fm, cw,
+                                      qcol, dcol, P, ks, rc)
+    return out, (x, mu, R, FW_aug, coff_fm, cw, qcol, dcol)
+
+
+def _pmffu_bwd(P, ks, rc, res, cots):
+    x, mu, R, FW_aug, coff_fm, cw, qcol, dcol = res
+    if _resident_ok(x.shape[0] * 4 * (x.shape[1] // 3) * 4,
+                    2 * qcol.size * 4):
+        dx, dmu, dR, gFW = _msg_fm_bwd_fused_call(
+            x, mu, R, FW_aug, coff_fm, cw, qcol, dcol, cots, P, ks, rc,
+            _cb.PIECES)
+    else:
+        from .colblock_geo import _geo_bwd_call, _geo_fwd_call
+
+        geo = _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, False)
+        dx, dmu, ggeo, gFW = _msg_fm_bwd_call(
+            x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+        dR = _geo_bwd_call(ggeo, R, coff_fm, qcol, dcol, cw, P, ks, rc,
+                           False)
+    return dx, dmu, dR, gFW, None, None, None, None
+
+
+_painn_message_full_fused_p.defvjp(_pmffu_fwd, _pmffu_bwd)
+
+
+def painn_message_columns_full_fused_pallas(x, mu, R, FW_aug, coff_fm,
+                                            cw, refs, rc):
+    """Fully fused message: geometry recomputed inside BOTH the forward
+    and the backward kernels — no geo tensors exist at all."""
+    return _painn_message_full_fused_p(x, mu, R, FW_aug, coff_fm, cw,
+                                       refs.qcol, refs.dcol, refs.P,
+                                       refs.ksizes, rc)

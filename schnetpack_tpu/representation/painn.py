@@ -57,15 +57,15 @@ class PaiNNInteraction(nn.Module):
         if fused_ctx is not None:
             # blocked layouts: gather + filter + message + neighbor-sum run
             # as one fused kernel; no [A, K, 3F] tensor is ever materialised
-            if fused_ctx[0] == "column_fm_fused":
-                # fused message+geometry backward: position cotangents come
-                # straight out of the message kernels (geo is
-                # stop-gradiented; the R path exists only through the op)
-                from ..ops.colblock import painn_message_columns_fm_fused
+            if fused_ctx[0] == "column_full_fused":
+                # fully fused: the per-edge geometry is recomputed inside
+                # both the forward and backward message kernels; position
+                # cotangents come straight out of the backward
+                from ..ops.colblock import painn_message_columns_full_fused
 
-                _, geo_sg, FW_aug, refs, R_tab, coff_fm, cw, rc = fused_ctx
-                dq_sum, dmu_sum = painn_message_columns_fm_fused(
-                    x, mu.reshape(A, 3 * F), R_tab, geo_sg, FW_aug,
+                _, FW_aug, refs, R_tab, coff_fm, cw, rc = fused_ctx
+                dq_sum, dmu_sum = painn_message_columns_full_fused(
+                    x, mu.reshape(A, 3 * F), R_tab, FW_aug,
                     coff_fm, cw, refs, rc
                 )
             elif fused_ctx[0] == "column_fm":
@@ -211,6 +211,7 @@ class PaiNN(nn.Module):
         cell_qidx = inputs.get(properties.cell_qidx)
         col_refs = None
         fused_geo = None
+        fused_full = False
         if properties.cell_qcol in inputs:
             # column-bucketed layout (the TPU fast path): per-edge geometry
             # lives in [nx, ny, 9, Kcol] bucket space
@@ -229,27 +230,38 @@ class PaiNN(nn.Module):
             gauss = (
                 isinstance(radial, GaussianRBF) and not radial.trainable
             )
+            fused_full = False
             if (shard is None and gauss
                     and isinstance(cutoff_fn, CosineCutoff)
                     and properties.cell_coff_fm in inputs):
-                # fused geometry: R -> [phi*fcut, fcut, dir] feature-major
-                # entirely in VMEM (ops/colblock_geo.py); nothing per-edge
-                # is materialised edge-major in HBM
-                from ..ops.colblock_geo import column_geometry
+                # fused geometry: R -> [phi*fcut, fcut, dir] computed
+                # entirely in VMEM; nothing per-edge is materialised
+                # edge-major in HBM.  On the pallas path the geometry is
+                # recomputed INSIDE the message kernels (fwd and bwd), so
+                # no geo tensors exist at all; the XLA path precomputes
+                # them once via ops/colblock_geo.py
+                from ..ops import cellblock as _cbmod
                 from ..ops.radial import gaussian_rbf_params
 
                 centers, widths = gaussian_rbf_params(
                     radial.n_rbf, radial.cutoff, radial.start
-                )
-                fused_geo = column_geometry(
-                    inputs[properties.R], inputs[properties.cell_coff_fm],
-                    col_refs, centers, widths, cutoff_fn.cutoff,
                 )
                 _dt = inputs[properties.R].dtype
                 geo_cw = jnp.stack([
                     jnp.asarray(centers, _dt),
                     -0.5 / jnp.square(jnp.asarray(widths, _dt)),
                 ], axis=1)
+                if _cbmod._impl().startswith("pallas"):
+                    fused_full = True
+                    fused_geo = None
+                else:
+                    from ..ops.colblock_geo import column_geometry
+
+                    fused_geo = column_geometry(
+                        inputs[properties.R],
+                        inputs[properties.cell_coff_fm],
+                        col_refs, centers, widths, cutoff_fn.cutoff,
+                    )
                 d_ij = dir_ij = fcut = None
             else:
                 Rij = inputs[properties.col_rij]           # [nx,ny,9,Kcol,3]
@@ -290,7 +302,7 @@ class PaiNN(nn.Module):
             B = radial.n_rbf if phi_ij is None else phi_ij.shape[-1]
             bias = filter_net(jnp.zeros((1, B), dtype))[0]
             FWm = filter_net(jnp.eye(B, dtype=dtype)) - bias[None]
-            if fused_geo is None:
+            if fused_geo is None and not fused_full:
                 rbf_aug = jnp.concatenate(
                     [phi_ij * fcut[..., None], fcut[..., None]], axis=-1
                 )
@@ -300,21 +312,18 @@ class PaiNN(nn.Module):
                 FW_aug = jnp.concatenate(
                     [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
                 )
-                if fused_geo is not None:
-                    from ..ops import cellblock as _cbmod
-
-                    if _cbmod._impl().startswith("pallas"):
-                        # pallas path: fused message+geometry backward
-                        fused_ctx_list.append((
-                            "column_fm_fused",
-                            jax.lax.stop_gradient(fused_geo), FW_aug,
-                            col_refs, inputs[properties.R],
-                            inputs[properties.cell_coff_fm], geo_cw,
-                            float(cutoff_fn.cutoff),
-                        ))
-                    else:
-                        fused_ctx_list.append(
-                            ("column_fm", fused_geo, FW_aug, col_refs))
+                if fused_full:
+                    # pallas path: geometry recomputed inside the message
+                    # kernels, forward and backward — no geo tensors
+                    fused_ctx_list.append((
+                        "column_full_fused", FW_aug, col_refs,
+                        inputs[properties.R],
+                        inputs[properties.cell_coff_fm], geo_cw,
+                        float(cutoff_fn.cutoff),
+                    ))
+                elif fused_geo is not None:
+                    fused_ctx_list.append(
+                        ("column_fm", fused_geo, FW_aug, col_refs))
                 elif col_refs is not None and col_refs.shard_axis is None:
                     # feature-major packed geometry (edge axis minor),
                     # split into the 9 per-bucket parts the fm kernels take

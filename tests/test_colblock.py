@@ -520,12 +520,23 @@ class TestFusedGeometryBackward:
                     x, mu, Rv, geo, fw, coff_fm, cw, refs, cutoff)
                 return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
 
+            from schnetpack_tpu.ops.colblock import (
+                painn_message_columns_full_fused,
+            )
+
+            def loss_full(args):
+                x, mu, Rv, fw = args
+                dq, dmu = painn_message_columns_full_fused(
+                    x, mu, Rv, fw, coff_fm, cw, refs, cutoff)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
             args = (x0, mu0, Rs, FW)
             v1, g1 = jax.value_and_grad(loss_ref)(args)
-            v2, g2 = jax.value_and_grad(loss_fused)(args)
-            np.testing.assert_allclose(v1, v2, rtol=1e-6)
-            for n, a, b in zip(["x", "mu", "R", "FW"], g1, g2):
-                np.testing.assert_allclose(
-                    a, b, rtol=1e-4, atol=1e-5, err_msg=f"grad {n}")
+            for loss_other in (loss_fused, loss_full):
+                v2, g2 = jax.value_and_grad(loss_other)(args)
+                np.testing.assert_allclose(v1, v2, rtol=1e-6)
+                for n, a, b in zip(["x", "mu", "R", "FW"], g1, g2):
+                    np.testing.assert_allclose(
+                        a, b, rtol=1e-4, atol=1e-5, err_msg=f"grad {n}")
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces

@@ -38,8 +38,41 @@ def fcc_box(n_target: int, a: float = 5.26):
     return pos, cell
 
 
+def _acquire_device(timeout_s: float = 600.0):
+    """Touch the backend with a bounded wait: the tunneled TPU plugin
+    blocks indefinitely when the remote side is down (observed multi-hour
+    outages), which would hang the whole benchmark run."""
+    import threading
+
+    import jax
+
+    out = {}
+
+    def probe():
+        try:
+            out["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 - report any backend failure
+            out["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" in out:
+        return out["devices"]
+    import sys
+
+    print(
+        f"bench: device acquisition failed within {timeout_s:.0f}s "
+        f"({out.get('error', 'backend unresponsive — tunnel down?')})",
+        file=sys.stderr,
+    )
+    raise SystemExit(3)
+
+
 def main():
     import jax
+
+    _acquire_device()
 
     from schnetpack_tpu import properties as P
     from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances

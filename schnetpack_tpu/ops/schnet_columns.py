@@ -76,12 +76,12 @@ def _filter_mlp(phi, fcut, W1_ref, b1_ref, W2_ref, b2_ref):
 
 
 # ------------------------------------------------------------------ fwd
-def _cf_fwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+def _cf_fwd_kernel(q_ref, d_ref, W1_ref, b1_ref, W2_ref, b2_ref,
                    *args, P, F, B, ks, pieces):
-    cols = args[: 9 * pieces]
-    out_ref = args[9 * pieces]
+    geo_refs = args[:9]
+    cols = args[9: 9 + 9 * pieces]
+    out_ref = args[9 + 9 * pieces]
     offs = _koffs(ks)
-    geoT = geo_ref[0, 0].T                                 # [Ktot, B+4]
     acc = None
     for c9 in range(9):
         o0, k = offs[c9], ks[c9]
@@ -93,8 +93,9 @@ def _cf_fwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
                 preferred_element_type=jnp.float32,
             )
             hj = d if hj is None else hj + d               # [k, F]
-        phi = geoT[o0:o0 + k, :B]
-        fcut = geoT[o0:o0 + k, B:B + 1]
+        geoT = geo_refs[c9][0, 0].T                        # [k, B+4]
+        phi = geoT[:, :B]
+        fcut = geoT[:, B:B + 1]
         _, _, _, W = _filter_mlp(phi, fcut, W1_ref, b1_ref, W2_ref, b2_ref)
         msg = hj * W
         ohd = _oh(d_ref, o0, k, P)
@@ -107,10 +108,17 @@ def _cf_fwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
     out_ref[0, 0] = acc
 
 
+def _geo_part_specs(ks, B):
+    return [
+        pl.BlockSpec((1, 1, B + 4, k), lambda i, j: (i, j, 0, 0))
+        for k in ks
+    ]
+
+
 def _cf_fwd_call(h, geo, W1, b1, W2, b2, qcol, dcol, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, F = h.shape
-    B = geo.shape[2] - 4
+    B = geo[0].shape[2] - 4
     halos = [_cols(p, nx, ny, P) for p in _split_f32(h, pieces)]
     out = pl.pallas_call(
         functools.partial(_cf_fwd_kernel, P=P, F=F, B=B, ks=ks,
@@ -119,31 +127,30 @@ def _cf_fwd_call(h, geo, W1, b1, W2, b2, qcol, dcol, P, ks, pieces):
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B, F), lambda i, j: (0, 0)),
             pl.BlockSpec((1, F), lambda i, j: (0, 0)),
             pl.BlockSpec((F, F), lambda i, j: (0, 0)),
             pl.BlockSpec((1, F), lambda i, j: (0, 0)),
-        ] + _col_view_specs(nx, ny, P, F, pieces),
+        ] + _geo_part_specs(ks, B) + _col_view_specs(nx, ny, P, F, pieces),
         out_specs=pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((nx, ny, P, F), h.dtype),
         compiler_params=_vmem_params(),
         interpret=_interp(),
-    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, W1, b1[None], W2,
-      b2[None], *[hh for hh in halos for _ in range(9)])
+    )(qcol[:, :, None, :], dcol[:, :, None, :], W1, b1[None], W2,
+      b2[None], *geo, *[hh for hh in halos for _ in range(9)])
     return out.reshape(A, F)
 
 
 # ------------------------------------------------------------------ bwd
-def _cf_bwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
+def _cf_bwd_kernel(q_ref, d_ref, W1_ref, b1_ref, W2_ref, b2_ref,
                    g_ref, *args, P, F, B, ks, pieces):
-    cols = args[: 9 * pieces]
-    outs = args[9 * pieces:]
+    geo_refs = args[:9]
+    cols = args[9: 9 + 9 * pieces]
+    outs = args[9 + 9 * pieces:]
     part_refs = outs[:9]
-    ggeo_ref = outs[9]
-    gW1_ref, gb1_ref, gW2_ref, gb2_ref = outs[10:]
+    ggeo_refs = outs[9:18]
+    gW1_ref, gb1_ref, gW2_ref, gb2_ref = outs[18:]
     offs = _koffs(ks)
-    geoT = geo_ref[0, 0].T
 
     @pl.when((pl.program_id(0) == 0) & (pl.program_id(1) == 0))
     def _():
@@ -164,8 +171,9 @@ def _cf_bwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
                 preferred_element_type=jnp.float32,
             )
             hj = d if hj is None else hj + d
-        phi = geoT[o0:o0 + k, :B]
-        fcut = geoT[o0:o0 + k, B:B + 1]
+        geoT = geo_refs[c9][0, 0].T                        # [k, B+4]
+        phi = geoT[:, :B]
+        fcut = geoT[:, B:B + 1]
         z1, h1, pre, W = _filter_mlp(phi, fcut, W1_ref, b1_ref, W2_ref,
                                      b2_ref)
         # --- per-edge cotangents (expand over dcol) -------------------
@@ -200,10 +208,9 @@ def _cf_bwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
             preferred_element_type=jnp.float32, precision=HI,
         )
         # geometry cotangent, feature-major [B+4, k] (dir channels unused)
-        ggeo_ref[0, 0, 0:B, o0:o0 + k] = gphi.T
-        ggeo_ref[0, 0, B:B + 1, o0:o0 + k] = gfcut.T
-        ggeo_ref[0, 0, B + 1:B + 4, o0:o0 + k] = jnp.zeros(
-            (3, k), jnp.float32)
+        ggeo_refs[c9][0, 0, 0:B] = gphi.T
+        ggeo_refs[c9][0, 0, B:B + 1] = gfcut.T
+        ggeo_refs[c9][0, 0, B + 1:B + 4] = jnp.zeros((3, k), jnp.float32)
         # --- fold dh back onto the table ------------------------------
         acc = None
         for piece in _split_f32(ghj, pieces):
@@ -218,7 +225,7 @@ def _cf_bwd_kernel(q_ref, d_ref, geo_ref, W1_ref, b1_ref, W2_ref, b2_ref,
 def _cf_bwd_call(h, geo, W1, b1, W2, b2, qcol, dcol, g, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, F = h.shape
-    B = geo.shape[2] - 4
+    B = geo[0].shape[2] - 4
     halos = [_cols(p, nx, ny, P) for p in _split_f32(h, pieces)]
     g4 = g.reshape(nx, ny, P, F)
     outs = pl.pallas_call(
@@ -228,18 +235,16 @@ def _cf_bwd_call(h, geo, W1, b1, W2, b2, qcol, dcol, g, P, ks, pieces):
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B, F), lambda i, j: (0, 0)),
             pl.BlockSpec((1, F), lambda i, j: (0, 0)),
             pl.BlockSpec((F, F), lambda i, j: (0, 0)),
             pl.BlockSpec((1, F), lambda i, j: (0, 0)),
             pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
-        ] + _col_view_specs(nx, ny, P, F, pieces),
+        ] + _geo_part_specs(ks, B) + _col_view_specs(nx, ny, P, F, pieces),
         out_specs=tuple(
             pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0))
             for _ in range(9)
-        ) + (
-            pl.BlockSpec((1, 1, B + 4, Ktot), lambda i, j: (i, j, 0, 0)),
+        ) + tuple(_geo_part_specs(ks, B)) + (
             pl.BlockSpec((B, F), lambda i, j: (0, 0)),
             pl.BlockSpec((1, F), lambda i, j: (0, 0)),
             pl.BlockSpec((F, F), lambda i, j: (0, 0)),
@@ -247,8 +252,9 @@ def _cf_bwd_call(h, geo, W1, b1, W2, b2, qcol, dcol, g, P, ks, pieces):
         ),
         out_shape=tuple(
             jax.ShapeDtypeStruct((nx, ny, P, F), h.dtype) for _ in range(9)
+        ) + tuple(
+            jax.ShapeDtypeStruct((nx, ny, B + 4, k), h.dtype) for k in ks
         ) + (
-            jax.ShapeDtypeStruct((nx, ny, B + 4, Ktot), h.dtype),
             jax.ShapeDtypeStruct((B, F), h.dtype),
             jax.ShapeDtypeStruct((1, F), h.dtype),
             jax.ShapeDtypeStruct((F, F), h.dtype),
@@ -256,11 +262,11 @@ def _cf_bwd_call(h, geo, W1, b1, W2, b2, qcol, dcol, g, P, ks, pieces):
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
-    )(qcol[:, :, None, :], dcol[:, :, None, :], geo, W1, b1[None], W2,
-      b2[None], g4, *[hh for hh in halos for _ in range(9)])
+    )(qcol[:, :, None, :], dcol[:, :, None, :], W1, b1[None], W2,
+      b2[None], g4, *geo, *[hh for hh in halos for _ in range(9)])
     partials = outs[:9]
-    ggeo = outs[9]
-    gW1, gb1, gW2, gb2 = outs[10], outs[11][0], outs[12], outs[13][0]
+    ggeo = tuple(outs[9:18])
+    gW1, gb1, gW2, gb2 = outs[18], outs[19][0], outs[20], outs[21][0]
     dh = _fold_partials(partials, nx, ny, P, F)
     return dh.reshape(A, F), ggeo, gW1, gb1, gW2, gb2
 
@@ -292,7 +298,9 @@ def schnet_cfconv_columns(h, geo, W1, b1, W2, b2, refs):
 
     Args:
         h: [A', F] in2f output table (cell-sorted space).
-        geo: [nx, ny, B+4, Ktot] RAW-phi feature-major geometry.
+        geo: 9-part per-bucket tuple of RAW-phi feature-major geometry
+            tensors [nx, ny, B+4, k_c9] (colblock_geo.column_geometry
+            with raw_phi=True).
         W1, b1: filter Dense 1 params ([B, F], [F]).
         W2, b2: filter Dense 2 params ([F, F], [F]).
         refs: ColRefs.
@@ -309,7 +317,9 @@ def schnet_cfconv_columns(h, geo, W1, b1, W2, b2, refs):
 def _cfconv_xla(h, geo, W1, b1, W2, b2, refs):
     """XLA reference (numerics oracle)."""
     from .colblock import _column_fold_xla, _column_gather_xla
+    from .colblock_geo import concat_geo
 
+    geo = concat_geo(geo)
     B = geo.shape[2] - 4
     g = jnp.moveaxis(geo, 2, 3)                            # [nx,ny,Ktot,B+4]
     phi = g[..., :B]

@@ -56,16 +56,10 @@ class SchNetInteraction(nn.Module):
         if fused_ctx is not None:
             # column layout: gather + filter MLP + message + neighbor sum
             # run as one fused kernel on raw-phi feature-major geometry
-            from ..ops.colblock_geo import concat_geo
             from ..ops.schnet_columns import schnet_cfconv_columns
 
             geo, refs = fused_ctx
-            if isinstance(geo, tuple):
-                # column_geometry now emits 9 per-bucket parts (see
-                # colblock_geo); the SchNet kernels still take the packed
-                # [nx, ny, C, Ktot] layout
-                geo = concat_geo(geo)
-            B = geo.shape[2] - 4
+            B = geo[0].shape[2] - 4
             F = self.n_filters
             b1 = f0(jnp.zeros((1, B), x.dtype))[0]
             W1 = f0(jnp.eye(B, dtype=x.dtype)) - b1[None]

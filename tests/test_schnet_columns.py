@@ -36,7 +36,10 @@ class TestCfconvKernel:
             emask = jnp.asarray(lay.emask, jnp.float32)
             geo_e = rng.randn(*lay.emask.shape, B + 4).astype(np.float32)
             geo_e *= np.asarray(emask)[..., None]
-            geo = jnp.moveaxis(jnp.asarray(geo_e), 3, 2)
+            from schnetpack_tpu.ops.colblock_geo import split_geo
+
+            geo = split_geo(jnp.moveaxis(jnp.asarray(geo_e), 3, 2),
+                            refs.ksizes)
             W1 = jnp.asarray(rng.randn(B, F) * 0.3, jnp.float32)
             b1 = jnp.asarray(rng.randn(F) * 0.1, jnp.float32)
             W2 = jnp.asarray(rng.randn(F, F) * 0.2, jnp.float32)
@@ -57,8 +60,9 @@ class TestCfconvKernel:
             np.testing.assert_allclose(v1, v2, rtol=1e-4, atol=1e-4)
             names = ["h", "geo", "W1", "b1", "W2", "b2"]
             for n, a, b in zip(names, g1, g2):
-                np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3,
-                                           err_msg=f"grad {n}")
+                for pa, pb in zip(jax.tree.leaves(a), jax.tree.leaves(b)):
+                    np.testing.assert_allclose(pa, pb, rtol=2e-3, atol=2e-3,
+                                               err_msg=f"grad {n}")
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces
 

@@ -540,3 +540,56 @@ class TestFusedGeometryBackward:
                         a, b, rtol=1e-4, atol=1e-5, err_msg=f"grad {n}")
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces
+
+    def test_full_fused_bf16_pieces(self):
+        """The production bf16 (PIECES=1) and mixed (PIECES=2) feature
+        modes must track the exact-f32 full-fused path within their
+        documented error envelopes (geometry is exact-f32 in every
+        mode)."""
+        from schnetpack_tpu.ops.colblock import (
+            painn_message_columns_full_fused,
+        )
+        from schnetpack_tpu.ops.radial import gaussian_rbf_params
+
+        old_impl, old_pieces = cb.IMPL, cb.PIECES
+        cb.IMPL = "pallas_interpret"
+        try:
+            rng = np.random.RandomState(1)
+            R = rng.uniform(0, 10.0, (90, 3))
+            cell = np.eye(3) * 10.0
+            cutoff = 3.0
+            lay = build_column_layout(R, 3.4, cell, np.ones(3, bool))
+            refs = ColRefs.from_layout(lay)
+            Ap = len(lay.order)
+            Rs = jnp.asarray(R[lay.order], jnp.float32) * jnp.asarray(
+                lay.slot_mask)[:, None]
+            coff_fm = jnp.asarray(
+                np.moveaxis(lay.offcol, -1, 2), jnp.float32)
+            centers, widths = gaussian_rbf_params(12, cutoff, 0.0)
+            cw = jnp.stack([
+                jnp.asarray(centers, jnp.float32),
+                -0.5 / jnp.square(jnp.asarray(widths, jnp.float32)),
+            ], axis=1)
+            F = 32
+            x0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            mu0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            FW = jnp.asarray(rng.randn(13, 3 * F) * 0.3, jnp.float32)
+
+            def grad_R(pieces):
+                cb.PIECES = pieces
+
+                def loss(Rv):
+                    dq, dmu = painn_message_columns_full_fused(
+                        x0, mu0, Rv, FW, coff_fm, cw, refs, cutoff)
+                    return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
+                return jax.grad(loss)(Rs)
+
+            g3 = np.asarray(grad_R(3))
+            scale = np.abs(g3).max() + 1e-9
+            g2 = np.asarray(grad_R(2))
+            g1 = np.asarray(grad_R(1))
+            assert np.abs(g2 - g3).max() / scale < 5e-3
+            assert np.abs(g1 - g3).max() / scale < 5e-2
+        finally:
+            cb.IMPL, cb.PIECES = old_impl, old_pieces

@@ -69,11 +69,13 @@ IMPL: Optional[str] = None
 
 # bf16 selection passes for the Pallas kernels: 1 -> bf16 features,
 # 2 -> ~16-bit mantissa, 3 -> exact float32 (one-hot entries are exact in
-# a single bf16 term).  The MD calculator sets this per-run via its
-# `precision` argument; SPK_TPU_PIECES overrides the default for scripts.
+# a single bf16 term).  The default is the exact-f32 setting so reduced
+# precision is always an explicit opt-in: the MD calculator sets this
+# per-run via its `precision` argument ("bf16" | "mixed" | "f32"), and
+# SPK_TPU_PIECES overrides the default for scripts.
 import os as _os
 
-PIECES: int = int(_os.environ.get("SPK_TPU_PIECES", "2"))
+PIECES: int = int(_os.environ.get("SPK_TPU_PIECES", "3"))
 
 
 def _impl() -> str:

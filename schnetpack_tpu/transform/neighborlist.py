@@ -191,10 +191,40 @@ class MatScipyNeighborList(NeighborListTransform):
             return cell_list_neighbor_list(R, cutoff, cell, pbc)
 
 
-#: reference also ships torch/vesin backends; on TPU they are all served by
-#: the same native implementation.
+#: the reference's torch backend (transform/neighborlist.py:428-553 there)
+#: is a device-tensor cell list; on TPU that role is served by the native
+#: C++ cell list behind NeighborListTransform.
 TorchNeighborList = NeighborListTransform
-VesinNeighborList = NeighborListTransform
+
+
+class VesinNeighborList(NeighborListTransform):
+    """vesin backend when the package is importable, native fallback else
+    (parity: reference transform/neighborlist.py:229-255)."""
+
+    def _build(self, R, cutoff, cell, pbc):
+        try:
+            from vesin import NeighborList as _VesinNL
+
+            p = np.zeros(3, bool) if pbc is None else np.asarray(pbc, bool)
+            c = np.zeros((3, 3)) if cell is None else np.asarray(cell, float)
+            if not p.any():
+                # vesin requires a box even for open boundaries
+                span = R.max(0) - R.min(0) + 2 * cutoff + 1.0
+                c, periodic = np.diag(span), False
+            else:
+                if not p.all():
+                    raise ImportError  # mixed PBC: fall back to native
+                periodic = True
+            i, j, S = _VesinNL(cutoff=float(cutoff), full_list=True).compute(
+                points=np.ascontiguousarray(R, float),
+                box=np.ascontiguousarray(c, float),
+                periodic=periodic, quantities="ijS",
+            )
+            order = np.lexsort((j, i))
+            return (i[order].astype(np.int64), j[order].astype(np.int64),
+                    S[order].astype(np.int64))
+        except ImportError:
+            return cell_list_neighbor_list(R, cutoff, cell, pbc)
 
 
 class SkinNeighborList(Transform):

@@ -95,15 +95,44 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         self.dense_nbl.build(system)
         return self.dense_nbl.state()
 
-    def chunk_probe(self, system: System):
-        """Device scalar the simulator fetches with the chunk logs (one
-        round trip): the neighbor list's max squared displacement."""
+    def device_step_update(self, system: System, calc_state):
+        """Traceable per-step neighbor-state refresh, called inside the
+        MD scan (skin criterion enforced every step, not per chunk)."""
+        if self.dense_nbl is None or calc_state is None:
+            return calc_state
+        fn = getattr(self.dense_nbl, "device_step_update", None)
+        return fn(system, calc_state) if fn is not None else calc_state
+
+    def chunk_probe(self, system: System, calc_state=None):
+        """Device scalars the simulator fetches with the chunk logs (one
+        round trip): the neighbor list's max squared displacement, plus
+        the in-scan rebuild's overflow latch when that path is active."""
         if self.dense_nbl is None:
             return None
+        if calc_state is not None and "nbl_build_R" in calc_state:
+            import jax.numpy as jnp
+
+            diff = system.positions - calc_state["nbl_build_R"]
+            return {
+                "disp2": jnp.max(jnp.sum(diff * diff, axis=-1)),
+                "ovf": calc_state["nbl_ovf"],
+            }
         return self.dense_nbl.displacement2(system)
 
     def update_state(self, system: System, calc_state, probe=None):
         if self.dense_nbl is None:
+            return calc_state
+        if (calc_state is not None and "nbl_build_R" in calc_state
+                and isinstance(probe, dict) and "ovf" in probe):
+            # rebuilds happened inside the scan; sync the host shadow so
+            # save/restart and a later host rebuild start from the truth
+            self.dense_nbl._state = dict(calc_state)
+            self.dense_nbl._build_positions_dev = calc_state["nbl_build_R"]
+            if bool(probe["ovf"]):
+                # capacity overflow mid-chunk: host rebuild grows the
+                # sticky bucket capacities (CapacityError path)
+                self.dense_nbl.build(system)
+                return self.dense_nbl.state()
             return calc_state
         if self.dense_nbl.maybe_rebuild(system, disp2=probe):
             return self.dense_nbl.state()

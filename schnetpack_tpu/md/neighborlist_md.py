@@ -450,6 +450,14 @@ class CellBlockNeighborListMD:
                     "nx": nx, "ny": ny, "P": self._C,
                     "ks": tuple(self._K), "rc": rc,
                 }
+                # in-scan rebuild support: the scan carry holds the
+                # positions of the last rebuild plus an overflow latch,
+                # so the skin criterion is enforced EVERY STEP inside
+                # the jitted chunk (a chunk-boundary-only check misses
+                # edges whenever an atom crosses skin/2 mid-chunk)
+                self._state["nbl_build_R"] = jnp.asarray(
+                    system.positions, dtype)
+                self._state["nbl_ovf"] = jnp.zeros((), bool)
 
     def displacement2(self, system: System):
         """Device-scalar max squared displacement since the last rebuild
@@ -457,6 +465,65 @@ class CellBlockNeighborListMD:
         if self._build_positions_dev is None:
             return None
         return _disp2(system.positions, self._build_positions_dev)
+
+    def device_step_update(self, system: System, calc_state):
+        """Traceable per-step rebuild check, called INSIDE the MD scan.
+
+        When any atom has moved farther than skin/2 since the last
+        rebuild, re-bin and rebuild the whole neighbor state on device
+        under ``lax.cond`` (executed only on the steps that trigger).
+        On capacity overflow the previous state is kept and a latch in
+        the carry is set; the simulator's chunk-boundary sync sees the
+        latch and falls back to the host builder (which grows the
+        sticky capacities).  This removes the only correctness hole of
+        chunk-level rebuilds: with a boundary-only check, an atom
+        crossing skin/2 mid-chunk runs up to a whole chunk on missing
+        edges (TPU redesign of reference md/neighborlist_md.py:100-189,
+        which rebuilds on host every step).
+        """
+        info = self._dev_rebuild
+        if (info is None or calc_state is None
+                or "nbl_build_R" not in calc_state):
+            return calc_state
+        from ..ops.colblock_rebuild import rebin_and_rebuild
+
+        thresh = jnp.asarray((self.skin / 2.0) ** 2,
+                             system.positions.dtype)
+        diff = system.positions - calc_state["nbl_build_R"]
+        disp2 = jnp.max(jnp.sum(diff * diff, axis=-1))
+
+        def rebuild(cs):
+            new, ovf = rebin_and_rebuild(
+                system.positions, cs["cell_order"], cs["cell_atom_mask"],
+                cs["cell_Z"], cs["cell_idx_m"], info["cell"],
+                nx=info["nx"], ny=info["ny"], P=info["P"],
+                ksizes=info["ks"], rc=info["rc"],
+            )
+            dtype = system.positions.dtype
+            upd = {
+                structure.cell_qcol: new["qcol"],
+                structure.cell_dcol: new["dcol"],
+                structure.cell_coff: new["coff"].astype(dtype),
+                structure.cell_coff_fm: new["coff_fm"].astype(dtype),
+                structure.cell_emask: new["emask"].astype(dtype),
+                "cell_order": new["order"].astype(cs["cell_order"].dtype),
+                "cell_rank": new["rank"].astype(cs["cell_rank"].dtype),
+                "cell_Z": new["Z"].astype(cs["cell_Z"].dtype),
+                "cell_idx_m": new["idx_m"].astype(cs["cell_idx_m"].dtype),
+                "cell_atom_mask": new["atom_mask"].astype(dtype),
+                "nbl_build_R": jnp.asarray(system.positions, dtype),
+            }
+            out = dict(cs)
+            for k, v in upd.items():
+                # overflow: keep the previous (still-valid-shape) state;
+                # nbl_build_R stays old so the trigger re-fires, and the
+                # latch makes the host grow capacities at the boundary
+                out[k] = jnp.where(ovf, cs[k], v)
+            out["nbl_ovf"] = cs["nbl_ovf"] | ovf
+            return out
+
+        return jax.lax.cond(disp2 > thresh, rebuild, lambda cs: cs,
+                            calc_state)
 
     def maybe_rebuild(self, system: System, disp2=None) -> bool:
         if self._state is None:
@@ -502,6 +569,9 @@ class CellBlockNeighborListMD:
         st["cell_Z"] = new["Z"]
         st["cell_idx_m"] = new["idx_m"]
         st["cell_atom_mask"] = new["atom_mask"].astype(dtype)
+        if "nbl_build_R" in st:
+            st["nbl_build_R"] = jnp.asarray(system.positions, dtype)
+            st["nbl_ovf"] = jnp.zeros((), bool)
         self._state = st
         self._build_positions_dev = system.positions
         return True

@@ -115,7 +115,14 @@ class Simulator:
 
             system = self.integrator.half_step(system)
             system = self.integrator.main_step(system)
-            system = self.calculator.calculate(system, state.calc_state)
+            # per-step neighbor-state refresh (e.g. skin-criterion NBL
+            # rebuild) runs on device inside the scan; the updated state
+            # is carried forward so no step ever evaluates stale edges
+            calc_state = state.calc_state
+            if hasattr(self.calculator, "device_step_update"):
+                calc_state = self.calculator.device_step_update(
+                    system, calc_state)
+            system = self.calculator.calculate(system, calc_state)
             system = self.integrator.half_step(system)
 
             # on_step_end in reverse order (propagator symmetry)
@@ -129,7 +136,7 @@ class Simulator:
                 hook_states=tuple(hook_states),
                 key=key,
                 step=state.step + 1,
-                calc_state=state.calc_state,
+                calc_state=calc_state,
             )
             return new_state, self._log_record(system)
 
@@ -163,7 +170,11 @@ class Simulator:
             probe = None
             if (hasattr(self.calculator, "chunk_probe")
                     and state.calc_state is not None):
-                probe = self.calculator.chunk_probe(state.system)
+                try:
+                    probe = self.calculator.chunk_probe(
+                        state.system, state.calc_state)
+                except TypeError:  # calculators with the 1-arg signature
+                    probe = self.calculator.chunk_probe(state.system)
             logs_np, probe_np = jax.device_get((logs, probe))
             if profiling:
                 jax.profiler.stop_trace()

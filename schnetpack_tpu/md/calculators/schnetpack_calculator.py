@@ -122,6 +122,11 @@ class SchNetPackCalculator(PairwiseMDCalculator):
     def update_state(self, system: System, calc_state, probe=None):
         if self.dense_nbl is None:
             return calc_state
+        if getattr(self.dense_nbl, "_state", 0) is None:
+            # fresh NBL holding a restored calc_state (restart path that
+            # bypassed init_state): rebuild the host statics from scratch
+            self.dense_nbl.build(system)
+            return self.dense_nbl.state()
         if (calc_state is not None and "nbl_build_R" in calc_state
                 and isinstance(probe, dict) and "ovf" in probe):
             # rebuilds happened inside the scan; sync the host shadow so
@@ -129,8 +134,21 @@ class SchNetPackCalculator(PairwiseMDCalculator):
             self.dense_nbl._state = dict(calc_state)
             self.dense_nbl._build_positions_dev = calc_state["nbl_build_R"]
             if bool(probe["ovf"]):
-                # capacity overflow mid-chunk: host rebuild grows the
-                # sticky bucket capacities (CapacityError path)
+                # Capacity overflow mid-chunk: the in-scan rebuild kept the
+                # previous (stale) list for the remainder of the chunk — a
+                # bounded window (<= chunk_size steps) during which atoms
+                # past skin/2 may miss edges.  Grow the sticky bucket
+                # capacities via the host builder and tell the user.
+                import warnings
+
+                warnings.warn(
+                    "neighbor-list bucket capacity overflowed during a jitted "
+                    "MD chunk; the remainder of that chunk ran on the previous "
+                    "neighbor list (bounded by chunk_size steps).  Capacities "
+                    "were grown — consider a smaller chunk_size or a larger "
+                    "bucket_headroom if this recurs.",
+                    stacklevel=2,
+                )
                 self.dense_nbl.build(system)
                 return self.dense_nbl.state()
             return calc_state

@@ -18,7 +18,7 @@ in behind the same interface.
 """
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -207,6 +207,11 @@ class CellBlockNeighborListMD:
         self._C = None
         self._build_positions = None
         self._build_positions_dev = None
+        self._host_build_positions_dev = None
+        # on-device rebuild info is derived in build(); a fresh instance
+        # (e.g. right after a checkpoint restore, before any build) must
+        # not AttributeError when the scan trace probes it
+        self._dev_rebuild = None
         self._state = None
 
     def build(self, system: System) -> None:
@@ -458,6 +463,34 @@ class CellBlockNeighborListMD:
                 self._state["nbl_build_R"] = jnp.asarray(
                     system.positions, dtype)
                 self._state["nbl_ovf"] = jnp.zeros((), bool)
+
+    def retighten(self, system: System, jitter_fraction: Optional[float] = None,
+                  bucket_headroom: Optional[float] = None) -> None:
+        """Re-probe the layout capacities from the CURRENT positions,
+        allowing the sticky shapes to SHRINK.
+
+        The first build pads bucket capacities for the occupancy shift of
+        thermal equilibration (jitter probe, ``build``); once the system
+        IS equilibrated, the measured occupancies are representative and
+        the padding can be retightened — every message/geometry kernel
+        scales with the total edge-slot count, so 15-25% less padding is
+        15-25% less kernel work.  Costs one recompile of the MD scan
+        (shapes change); call it once after equilibration.  The
+        grow-on-overflow path keeps correctness if occupancies later
+        exceed the tightened capacities.
+        """
+        old = (self.jitter_fraction, self.bucket_headroom)
+        self._dims = self._C = self._K = None
+        self._layout = None
+        self._state = None
+        if jitter_fraction is not None:
+            self.jitter_fraction = float(jitter_fraction)
+        if bucket_headroom is not None:
+            self.bucket_headroom = float(bucket_headroom)
+        try:
+            self.build(system)
+        finally:
+            self.jitter_fraction, self.bucket_headroom = old
 
     def displacement2(self, system: System):
         """Device-scalar max squared displacement since the last rebuild

@@ -65,6 +65,7 @@ class Simulator:
         self._profiled = False
         self.n_simulated = 0
         self._step_fn = None
+        self._probe_nargs: Optional[int] = None
         self._state: Optional[SimulatorState] = None
 
     # ------------------------------------------------------------------
@@ -170,10 +171,15 @@ class Simulator:
             probe = None
             if (hasattr(self.calculator, "chunk_probe")
                     and state.calc_state is not None):
-                try:
+                if self._probe_nargs is None:
+                    import inspect
+
+                    sig = inspect.signature(self.calculator.chunk_probe)
+                    self._probe_nargs = min(len(sig.parameters), 2)
+                if self._probe_nargs >= 2:
                     probe = self.calculator.chunk_probe(
                         state.system, state.calc_state)
-                except TypeError:  # calculators with the 1-arg signature
+                else:
                     probe = self.calculator.chunk_probe(state.system)
             logs_np, probe_np = jax.device_get((logs, probe))
             if profiling:
@@ -223,6 +229,18 @@ class Simulator:
             restored = restored.replace(hook_states=self._state.hook_states)
         self._state = jax.tree.map(jnp.asarray, restored)
         self.n_simulated = d.get("n_simulated", 0)
+        self.system = self._state.system
+        # Rehydrate the calculator's host-side derived state (neighbor-list
+        # layout, bucket capacities, on-device-rebuild eligibility).  The
+        # saved calc_state arrays alone are not enough: a fresh calculator
+        # holds none of the host statics, so without a rebuild the first
+        # scan trace would run with rebuilds silently disabled (or crash).
+        # The NBL is derived state — rebuilding from the restored positions
+        # is exactly what a fresh start would do.
+        if (self._state.calc_state is not None
+                and hasattr(self.calculator, "init_state")):
+            calc_state = self.calculator.init_state(self._state.system)
+            self._state = self._state.replace(calc_state=calc_state)
 
     def restart_simulation(self, d: Dict[str, Any], soft: bool = False):
         self.load_state_dict(d, soft=soft)

@@ -280,14 +280,19 @@ class NeuralNetworkPotential:
         return out
 
     # convenience -------------------------------------------------------
-    def predict(self, params, inputs, jit_cache={}):
-        """Jitted inference apply (postprocessing on)."""
-        key = id(self)
-        if key not in jit_cache:
-            jit_cache[key] = jax.jit(
-                lambda p, i: self.apply(p, i, do_postprocessing=True)
-            )
-        return jit_cache[key](params, inputs)
+    def predict(self, params, inputs):
+        """Jitted inference apply (postprocessing on).
+
+        The compiled callable is cached on the instance (flax modules are
+        frozen dataclasses, so the cache lives in ``object.__setattr__``
+        storage); a module-level dict keyed by ``id(self)`` would never
+        evict and could alias a different model after GC reuses the id.
+        """
+        fn = getattr(self, "_predict_jit", None)
+        if fn is None:
+            fn = jax.jit(lambda p, i: self.apply(p, i, do_postprocessing=True))
+            object.__setattr__(self, "_predict_jit", fn)
+        return fn(params, inputs)
 
 
 #: alias matching the reference's generic base name

@@ -27,12 +27,28 @@ class CSVLogger:
 
     def log(self, metrics: Dict[str, float], step: int):
         row = {"step": step, **metrics}
-        write_header = self._keys is None or not os.path.exists(self.path)
-        if self._keys is None:
-            self._keys = list(row)
+        new_keys = [k for k in row if self._keys is None or k not in self._keys]
+        if new_keys:
+            # schema grows: late-appearing metrics (val_* on the first
+            # validation epoch, epoch_time_s, ...) get columns by rewriting
+            # the header and back-filling prior rows with blanks
+            old_keys = self._keys or []
+            self._keys = old_keys + new_keys
+            if old_keys and os.path.exists(self.path):
+                with open(self.path) as f:
+                    lines = f.read().splitlines()
+                pad = "," * len(new_keys)
+                with open(self.path, "w") as f:
+                    f.write(",".join(self._keys) + "\n")
+                    for line in lines[1:]:
+                        f.write(line + pad + "\n")
+            elif not os.path.exists(self.path):
+                with open(self.path, "w") as f:
+                    f.write(",".join(self._keys) + "\n")
+            else:
+                with open(self.path, "a") as f:
+                    f.write(",".join(self._keys) + "\n")
         with open(self.path, "a") as f:
-            if write_header:
-                f.write(",".join(self._keys) + "\n")
             f.write(",".join(str(row.get(k, "")) for k in self._keys) + "\n")
 
 

@@ -199,32 +199,48 @@ TorchNeighborList = NeighborListTransform
 
 class VesinNeighborList(NeighborListTransform):
     """vesin backend when the package is importable, native fallback else
-    (parity: reference transform/neighborlist.py:229-255)."""
+    (parity: reference transform/neighborlist.py:229-255).
+
+    Mixed PBC (some axes periodic, some not) is unsupported by vesin — the
+    reference raises; here we fall back to the native cell list (which
+    handles mixed PBC correctly) and warn once so the backend divergence
+    is visible rather than silent."""
+
+    _warned_fallback = False
 
     def _build(self, R, cutoff, cell, pbc):
         try:
             from vesin import NeighborList as _VesinNL
-
-            p = np.zeros(3, bool) if pbc is None else np.asarray(pbc, bool)
-            c = np.zeros((3, 3)) if cell is None else np.asarray(cell, float)
-            if not p.any():
-                # vesin requires a box even for open boundaries
-                span = R.max(0) - R.min(0) + 2 * cutoff + 1.0
-                c, periodic = np.diag(span), False
-            else:
-                if not p.all():
-                    raise ImportError  # mixed PBC: fall back to native
-                periodic = True
-            i, j, S = _VesinNL(cutoff=float(cutoff), full_list=True).compute(
-                points=np.ascontiguousarray(R, float),
-                box=np.ascontiguousarray(c, float),
-                periodic=periodic, quantities="ijS",
-            )
-            order = np.lexsort((j, i))
-            return (i[order].astype(np.int64), j[order].astype(np.int64),
-                    S[order].astype(np.int64))
         except ImportError:
             return cell_list_neighbor_list(R, cutoff, cell, pbc)
+
+        p = np.zeros(3, bool) if pbc is None else np.asarray(pbc, bool)
+        c = np.zeros((3, 3)) if cell is None else np.asarray(cell, float)
+        if not p.any():
+            # vesin requires a box even for open boundaries
+            span = R.max(0) - R.min(0) + 2 * cutoff + 1.0
+            c, periodic = np.diag(span), False
+        elif not p.all():
+            if not VesinNeighborList._warned_fallback:
+                import warnings
+
+                warnings.warn(
+                    "vesin does not support mixed periodic boundary "
+                    "conditions; falling back to the native cell list "
+                    "for this structure", stacklevel=2,
+                )
+                VesinNeighborList._warned_fallback = True
+            return cell_list_neighbor_list(R, cutoff, cell, pbc)
+        else:
+            periodic = True
+        i, j, S = _VesinNL(cutoff=float(cutoff), full_list=True).compute(
+            points=np.ascontiguousarray(R, float),
+            box=np.ascontiguousarray(c, float),
+            periodic=periodic, quantities="ijS",
+        )
+        order = np.lexsort((j, i))
+        return (i[order].astype(np.int64), j[order].astype(np.int64),
+                S[order].astype(np.int64))
 
 
 class SkinNeighborList(Transform):

@@ -106,6 +106,116 @@ def test_device_rebuild_union_over_beads():
             assert (ra, rb) in got_pairs
 
 
+def _nvt_argon_sim(n_steps=0, chunk_size=10, seed=7):
+    """Small periodic PaiNN NVT setup on the cellblock column NBL."""
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.md import (
+        MaxwellBoltzmannInit, Simulator, VelocityVerlet, load_molecules,
+    )
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    cutoff = 3.0
+    rng = np.random.RandomState(seed)
+    pos = (np.mgrid[0:4, 0:4, 0:4].reshape(3, -1).T * 3.2 + 1.0
+           + rng.uniform(-0.05, 0.05, (64, 3)))
+    cell = np.eye(3) * 12.8
+    mol = {P.Z: np.full(64, 18, np.int64), P.R: pos, P.cell: cell,
+           P.pbc: np.ones(3, bool)}
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                             cutoff=cutoff),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy), Forces()],
+    )
+    probe = NeighborListTransform(cutoff)(
+        {P.Z: mol[P.Z][:16], P.R: mol[P.R][:16], P.cell: np.zeros((3, 3)),
+         P.pbc: np.zeros(3, bool)})
+    params = pot.init(jax.random.PRNGKey(0),
+                      collate([probe], PaddingSpec(24, 512, 2)))
+    system = load_molecules([mol])
+    system = MaxwellBoltzmannInit(600.0).initialize_system(
+        system, jax.random.PRNGKey(3))
+    calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                cutoff_shell=0.4,
+                                neighbor_list="cellblock")
+    sim = Simulator(system, VelocityVerlet(1.0), calc, progress=False,
+                    log_keys=("temperature",))
+    if n_steps:
+        sim.simulate(n_steps, chunk_size=chunk_size)
+    return sim, pot, params, cutoff
+
+
+def test_restart_roundtrip_cellblock():
+    """state_dict -> fresh Simulator (fresh NBL, never built) ->
+    load_state_dict -> simulate must not crash and must keep the skin
+    invariant (regression: device_step_update read _dev_rebuild off a
+    never-built NBL after restore)."""
+    from schnetpack_tpu.md import Simulator, VelocityVerlet, load_molecules
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
+
+    sim, pot, params, cutoff = _nvt_argon_sim(n_steps=30, chunk_size=10)
+    saved = sim.state_dict()
+    E_saved = np.asarray(sim.state.system.positions).copy()
+
+    # brand-new everything: model/calculator/simulator; the NBL inside the
+    # new calculator has never seen build()
+    mol = {P.Z: np.asarray(sim.system.atomic_numbers),
+           P.R: np.asarray(sim.system.positions[0]),
+           P.cell: np.asarray(sim.system.cells[0, 0]),
+           P.pbc: np.ones(3, bool)}
+    calc2 = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                 cutoff_shell=0.4,
+                                 neighbor_list="cellblock")
+    sim2 = Simulator(load_molecules([mol]), VelocityVerlet(1.0), calc2,
+                     progress=False, log_keys=("temperature",))
+    sim2.load_state_dict(saved)
+    # restore must rehydrate the NBL host statics
+    assert calc2.dense_nbl._state is not None
+    np.testing.assert_allclose(
+        np.asarray(sim2.state.system.positions), E_saved, rtol=1e-6)
+
+    sim2.simulate(40, chunk_size=10)
+    assert sim2.n_simulated == 30 + 40
+    assert np.isfinite(np.asarray(sim2.system.positions)).all()
+    # in-scan skin invariant: displacement since last rebuild stays under
+    # (skin/2)^2 at every chunk boundary
+    nbl = calc2.dense_nbl
+    cs = sim2.state.calc_state
+    if "nbl_build_R" in cs:
+        disp2 = float(jnp.max(jnp.sum(
+            (sim2.state.system.positions - cs["nbl_build_R"]) ** 2, -1)))
+        assert disp2 <= (nbl.skin / 2.0) ** 2 + 1e-6
+
+
+def test_overflow_latch_grows_capacity():
+    """Force a bucket-capacity overflow inside the scan: the latch must
+    surface at the chunk boundary, warn, and grow capacities via the host
+    builder (list stays usable afterwards)."""
+    import warnings as _warnings
+
+    sim, *_ = _nvt_argon_sim(n_steps=10, chunk_size=10)
+    calc = sim.calculator
+    nbl = calc.dense_nbl
+    assert nbl._dev_rebuild is not None
+    # compress every atom toward one corner: real bucket occupancy exceeds
+    # the sticky capacities (shapes stay static; only the fill overflows),
+    # and disp2 >> (skin/2)^2 triggers the in-scan rebuild immediately
+    st = sim.state
+    squeezed = st.system.positions * 0.25 + 1.0
+    sim._state = st.replace(system=st.system.replace(positions=squeezed))
+    with _warnings.catch_warnings(record=True) as rec:
+        _warnings.simplefilter("always")
+        sim.simulate(10, chunk_size=10)
+    assert any("overflow" in str(w.message) for w in rec)
+    # host grow path restored a valid (larger-capacity) state
+    assert nbl._state is not None
+    assert np.isfinite(np.asarray(sim.system.positions)).all()
+
+
 def test_md_loop_rebuilds_without_host(monkeypatch):
     """NVT run hot enough to trigger rebuilds: after the first build, the
     host builder is forbidden — all rebuilds must happen on device."""

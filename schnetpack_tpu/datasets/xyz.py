@@ -58,3 +58,51 @@ def parse_extxyz_blocks(text: str) -> Iterator[Dict]:
 def read_extxyz_file(path: str) -> List[Dict]:
     with open(path) as f:
         return list(parse_extxyz_blocks(f.read()))
+
+
+def z_to_symbol(z: int) -> str:
+    return _SYMBOLS[int(z)]
+
+
+def format_extxyz_frame(numbers, positions, cell=None, energy=None,
+                        forces=None, comment_extra: str = "") -> str:
+    """One ASE-compatible extxyz frame (text).  Energies/forces land in
+    the standard ``energy=`` comment field and per-atom ``forces``
+    columns so ``ase.io.read`` reconstructs them as a calculator."""
+    numbers = np.asarray(numbers)
+    positions = np.asarray(positions, np.float64)
+    n = len(numbers)
+    props = "species:S:1:pos:R:3"
+    if forces is not None:
+        forces = np.asarray(forces, np.float64)
+        props += ":forces:R:3"
+    fields = [f'Properties={props}']
+    if cell is not None and np.any(np.asarray(cell)):
+        flat = " ".join(f"{v:.10f}" for v in np.asarray(cell).ravel())
+        fields.insert(0, f'Lattice="{flat}"')
+        fields.append("pbc=\"T T T\"")
+    if energy is not None:
+        fields.append(f"energy={float(energy):.10f}")
+    if comment_extra:
+        fields.append(comment_extra)
+    lines = [str(n), " ".join(fields)]
+    for i in range(n):
+        row = f"{_SYMBOLS[int(numbers[i])]:2s} " + " ".join(
+            f"{v: .10f}" for v in positions[i]
+        )
+        if forces is not None:
+            row += " " + " ".join(f"{v: .10f}" for v in forces[i])
+        lines.append(row)
+    return "\n".join(lines) + "\n"
+
+
+def write_extxyz(path: str, frames: List[Dict], append: bool = False) -> None:
+    """Write frames (dicts with numbers/positions and optional
+    cell/energy/forces) as a concatenated extxyz trajectory."""
+    mode = "a" if append else "w"
+    with open(path, mode) as f:
+        for fr in frames:
+            f.write(format_extxyz_frame(
+                fr["numbers"], fr["positions"], fr.get("cell"),
+                fr.get("energy"), fr.get("forces"),
+            ))

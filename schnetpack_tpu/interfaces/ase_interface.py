@@ -231,15 +231,42 @@ class AseInterface:
     def calculate_single_point(self) -> Dict[str, np.ndarray]:
         return self.calculator.calculate(self.atoms)
 
-    def optimize(self, fmax: float = 1e-2, steps: int = 200):
+    def optimize(self, fmax: float = 1e-2, steps: int = 200,
+                 name: str = "optimization"):
+        """Relax the structure; writes resumable on-disk artifacts into
+        ``working_dir`` (parity: reference ase_interface.py:759-800 —
+        ASE optimizer trajectory + logfile): ``<name>.extxyz`` holds every
+        iteration with energy+forces, ``<name>.log`` the optimizer lines,
+        and ``<name>_final.extxyz`` the relaxed geometry."""
+        import os
+
+        from ..datasets.xyz import write_extxyz
         from .batchwise import BatchwiseCalculator, batchwise_lbfgs
 
         bc = BatchwiseCalculator(
             self.calculator.model, self.calculator.params,
             converter=self.calculator.converter,
         )
-        relaxed, info = batchwise_lbfgs(bc, [self.atoms], fmax=fmax, maxstep_total=steps)
+        os.makedirs(self.working_dir, exist_ok=True)
+        traj = os.path.join(self.working_dir, f"{name}.extxyz")
+        log = os.path.join(self.working_dir, f"{name}.log")
+        relaxed, info = batchwise_lbfgs(
+            bc, [self.atoms], fmax=fmax, maxstep_total=steps,
+            trajectory=traj, logfile=log,
+        )
         self.atoms = relaxed[0]
+        res = self.calculator.calculate(self.atoms)
+        cell = np.asarray(self.atoms.get(structure.cell, np.zeros((3, 3))))
+        write_extxyz(
+            os.path.join(self.working_dir, f"{name}_final.extxyz"),
+            [{
+                "numbers": np.asarray(self.atoms[structure.Z]),
+                "positions": np.asarray(self.atoms[structure.R]),
+                "cell": cell if np.any(cell) else None,
+                "energy": float(np.asarray(res["energy"]).ravel()[0]),
+                "forces": np.asarray(res["forces"]),
+            }],
+        )
         return info
 
     def run_md(self, n_steps: int, temperature: float = 300.0, time_step: float = 0.5,

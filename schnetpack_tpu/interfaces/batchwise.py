@@ -77,11 +77,20 @@ def batchwise_lbfgs(
     alpha: float = 70.0,
     fixed_atoms_mask: Optional[np.ndarray] = None,
     verbose: bool = False,
+    trajectory: Optional[str] = None,
+    logfile: Optional[str] = None,
 ) -> Tuple[List[Dict], Dict]:
     """Relax a population of structures with memory-limited BFGS.
 
     Returns the relaxed structures and an info dict with per-structure
     convergence flags and iteration counts.
+
+    On-disk artifacts (parity: the reference's ASE optimizer trajectory +
+    logfile, ase_interface.py:759-800): ``trajectory`` writes every
+    optimizer iteration as an ASE-compatible extxyz trajectory (one file
+    per structure, ``<base>_m<i>.extxyz`` when more than one structure is
+    relaxed) with energies and forces in the frames; ``logfile`` appends
+    classic ``Step Energy fmax`` optimizer lines.
     """
     samples = [_to_sample(s) for s in structures]
     n_atoms = [len(s[structure.Z]) for s in samples]
@@ -124,6 +133,42 @@ def batchwise_lbfgs(
     converged = np.zeros(M, bool)
     iterations = np.zeros(M, int)
     H0 = 1.0 / alpha
+
+    def _traj_paths():
+        if M == 1:
+            return [trajectory]
+        import os as _os
+
+        base, ext = _os.path.splitext(trajectory)
+        return [f"{base}_m{m}{ext or '.extxyz'}" for m in range(M)]
+
+    def _record(it, first=False):
+        if trajectory is not None:
+            from ..datasets.xyz import write_extxyz
+
+            off = 0
+            for m, (s, n, p) in enumerate(zip(samples, n_atoms,
+                                              _traj_paths())):
+                cell = np.asarray(s.get(structure.cell, np.zeros((3, 3))))
+                write_extxyz(p, [{
+                    "numbers": np.asarray(s[structure.Z]),
+                    "positions": x[off: off + n],
+                    "cell": cell if np.any(cell) else None,
+                    "energy": float(np.asarray(e).ravel()[m]),
+                    "forces": f[off: off + n],
+                }], append=not first)
+                off += n
+        if logfile is not None:
+            with open(logfile, "a" if not first else "w") as lf:
+                if first:
+                    lf.write("BatchwiseLBFGS  Step  Energy[mean]  fmax\n")
+                lf.write(
+                    f"BatchwiseLBFGS: {it:4d}  "
+                    f"{float(np.mean(np.asarray(e))):16.6f}  "
+                    f"{np.abs(f).max():12.6f}\n"
+                )
+
+    _record(0, first=True)
 
     for it in range(maxstep_total):
         fnorm_per_mol = np.array(
@@ -174,6 +219,7 @@ def batchwise_lbfgs(
                 y_hist.pop(0)
                 rho.pop(0)
         x, e, f = x_new, e_new, f_new
+        _record(it + 1)
         if verbose:
             print(f"lbfgs it {it}: fmax={fnorm_per_mol.max():.4f} converged={converged.sum()}/{len(samples)}")
 

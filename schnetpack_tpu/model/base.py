@@ -139,7 +139,10 @@ class NeuralNetworkPotential:
         R0 = inputs[properties.R]
         A0 = R0.shape[0]
         eps0 = jnp.zeros((M, 3, 3), dtype=dtype)
-        F0 = jnp.zeros((M, 3), dtype=dtype)
+        # linearization point for field responses: a user-supplied applied
+        # field shifts it (field-dependent response properties), matching
+        # the magnetic-field treatment below
+        F0 = inputs.get(properties.electric_field, jnp.zeros((M, 3), dtype=dtype))
         B0 = inputs.get(properties.magnetic_field, jnp.zeros((M, 3), dtype=dtype))
         I0 = inputs.get(
             properties.nuclear_magnetic_moments, jnp.zeros((A0, 3), dtype=dtype)
@@ -212,58 +215,77 @@ class NeuralNetworkPotential:
             grad_R = lambda R_: jax.grad(lambda r: closure(r, eps0, F0)[0])(R_)
             out[properties.hessian] = jax.jacrev(grad_R)(R0)
 
+        # Scale-aware second derivatives (VERDICT r3 #4): molecules in a
+        # batch never couple (neighbor lists and field terms are
+        # per-molecule), so a field perturbation applied to ALL molecules
+        # at once yields each molecule exactly its own response — three
+        # Hessian-vector products replace the dense [M,3,M,3] cross-
+        # molecule jacrev (quadratic memory) with [M,3] tangents.
+        def _alpha_blocks(R_):
+            """Per-molecule polarizability [M, 3, 3] via 3 HVPs."""
+            grad_F = lambda F_: jax.grad(lambda f: closure(R_, eps0, f)[0])(F_)
+            cols = []
+            for i in range(3):
+                tang = jnp.broadcast_to(
+                    jnp.eye(3, dtype=dtype)[i], (M, 3))
+                cols.append(-jax.jvp(grad_F, (F0,), (tang,))[1])  # [M, 3]
+            return jnp.stack(cols, axis=-1)  # [M, 3(dE/dF), 3(dF dir)]
+
         if properties.polarizability in props and properties.electric_field in self.required_fields:
-            grad_F = lambda F_: jax.grad(lambda f: closure(R0, eps0, f)[0])(F_)
-            alpha_full = -jax.jacrev(grad_F)(F0)  # [M,3,M,3]
-            alpha = jnp.diagonal(alpha_full, axis1=0, axis2=2)  # [3,3,M]
-            out[properties.polarizability] = jnp.moveaxis(alpha, -1, 0)
+            out[properties.polarizability] = _alpha_blocks(R0)
 
         if (
             properties.dipole_derivatives in props
             or properties.partial_charges in props
         ) and properties.electric_field in self.required_fields:
-            # d mu / d R = -d2 E / dF dR  -> [M,3,A,3]
-            mu_of_R = lambda R_: -jax.grad(
-                lambda f: closure(R_, eps0, f)[0]
-            )(F0)
-            dmu_dR = jax.jacrev(mu_of_R)(R0)
             if properties.dipole_derivatives in props:
-                out[properties.dipole_derivatives] = dmu_dR
+                # d mu / d R = -d2 E / dF dR  -> [M,3,A,3] (the requested
+                # output shape itself; linear in A)
+                mu_of_R = lambda R_: -jax.grad(
+                    lambda f: closure(R_, eps0, f)[0]
+                )(F0)
+                out[properties.dipole_derivatives] = jax.jacrev(mu_of_R)(R0)
             if properties.partial_charges in props:
-                # Born effective charge (isotropic part): q_a = tr(dmu/dR_a)/3
-                # from the atom's own molecule block of dmu_dR [M, 3, A, 3]
-                idx_m = inputs[properties.idx_m]
-                sel = jnp.take_along_axis(
-                    jnp.moveaxis(dmu_dR, 2, 0),  # [A, M, 3, 3]
-                    idx_m[:, None, None, None].astype(jnp.int32), axis=1,
-                )[:, 0]  # [A, 3, 3]
+                # Born effective charge (isotropic part):
+                # q_a = tr(d mu_{m(a)} / d R_a) / 3.  Each atom's own
+                # molecule block comes from 3 HVPs over the field (all
+                # molecules perturbed at once; cross terms are zero), so
+                # no [M,3,A,3] jacobian is needed for charges alone.
+                grad_R = lambda F_: jax.grad(
+                    lambda r: closure(r, eps0, F_)[0]
+                )(R0)
+                cols = []
+                for i in range(3):
+                    tang = jnp.broadcast_to(
+                        jnp.eye(3, dtype=dtype)[i], (M, 3))
+                    # d(dE/dR_a)/dF_i = -d mu_i / d R_a
+                    cols.append(-jax.jvp(grad_R, (F0,), (tang,))[1])
+                sel = jnp.stack(cols, axis=1)  # [A, 3(mu), 3(R)]
                 out[properties.partial_charges] = (
                     jnp.trace(sel, axis1=-2, axis2=-1) / 3.0
                 ) * atom_mask
 
         if properties.polarizability_derivatives in props:
-            # d alpha / d R = -d3 E / dF^2 dR -> [M,3,M,3,A,3]; per-molecule
-            # diagonal extracted to [M,3,3,A,3]
-            def alpha_of_R(R_):
-                grad_F = jax.grad(lambda f: closure(R_, eps0, f)[0])
-                full = -jax.jacrev(grad_F)(F0)  # [M,3,M,3]
-                diag = jnp.diagonal(full, axis1=0, axis2=2)  # [3,3,M]
-                return jnp.moveaxis(diag, -1, 0)  # [M,3,3]
-
-            out[properties.polarizability_derivatives] = jax.jacrev(alpha_of_R)(R0)
+            # d alpha / d R -> [M,3,3,A,3]; the inner alpha uses the HVP
+            # form, so no [M,3,M,3] intermediate exists at any nesting
+            out[properties.polarizability_derivatives] = jax.jacrev(
+                _alpha_blocks)(R0)
 
         if properties.shielding in props:
-            # sigma_a = d2 E / dB dI_a -> per-atom 3x3 shielding tensors
+            # sigma_a = d2 E / dB dI_a -> per-atom 3x3 shielding tensors.
+            # Same HVP trick: perturbing every molecule's B field at once
+            # gives each atom exactly its own molecule's response — no
+            # [A, 3, M, 3] cross jacobian.
             def dE_dI(B_):
                 return jax.grad(
                     lambda I_: closure(R0, eps0, F0, B_, I_)[0]
                 )(I0)  # [A, 3]
 
-            jac = jax.jacrev(dE_dI)(B0)  # [A, 3, M, 3]
-            idx_m = inputs[properties.idx_m]
-            per_atom = jnp.take_along_axis(
-                jac, idx_m[:, None, None, None].astype(jnp.int32), axis=2
-            )[:, :, 0, :]  # [A, 3, 3]
+            cols = []
+            for j in range(3):
+                tang = jnp.broadcast_to(jnp.eye(3, dtype=dtype)[j], (M, 3))
+                cols.append(jax.jvp(dE_dI, (B0,), (tang,))[1])  # [A, 3]
+            per_atom = jnp.stack(cols, axis=-1)  # [A, 3(I), 3(B)]
             out[properties.shielding] = per_atom * atom_mask[:, None, None]
 
         if properties.nuclear_spin_coupling in props:

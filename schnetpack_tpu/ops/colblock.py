@@ -249,6 +249,20 @@ def painn_message_columns_fm_fused(x, mu, R, geo, FW_aug, coff_fm, cw,
         x, mu, R, geo, FW_aug, coff_fm, cw, refs, rc)
 
 
+def painn_message_columns_fm_geores(x, mu, R, geo, FW_aug, coff_fm, cw,
+                                    refs: ColRefs, rc):
+    """Message forward on precomputed geo with a GEO-RESIDENT backward:
+    the backward reads the same geo tensors as the forward and derives
+    the geometry-backward chain from them (d via acos of the stored
+    cutoff channel, phi by division) — no position inputs and no
+    geometry recompute anywhere in the message kernels.  Pass ``geo``
+    through ``jax.lax.stop_gradient``."""
+    from .colblock_pallas import painn_message_columns_fm_geores_pallas
+
+    return painn_message_columns_fm_geores_pallas(
+        x, mu, R, geo, FW_aug, coff_fm, cw, refs, rc)
+
+
 def painn_message_columns_full_fused(x, mu, R, FW_aug, coff_fm, cw,
                                      refs: ColRefs, rc):
     """Fully fused message (pallas only): the per-edge geometry is

@@ -152,13 +152,15 @@ def _posT_pieces(R, nx, ny, P):
     return _split_f32(posT, POS_PIECES)
 
 
-def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
+def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
+                  with_d=False):
     nx, ny, Ktot = qcol.shape
     B = cw.shape[0]
+    nch = B + 5 if with_d else B + 4
     pieces = _posT_pieces(R, nx, ny, P)
     return pl.pallas_call(
         functools.partial(_geo_fwd_kernel, P=P, B=B, ks=ks, rc=rc,
-                          raw_phi=raw_phi),
+                          raw_phi=raw_phi, with_d=with_d),
         grid=(nx, ny),
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
@@ -167,11 +169,11 @@ def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
             pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
         ] + _posT_specs(nx, ny, P) + _own_specs(nx, ny, P),
         out_specs=tuple(
-            pl.BlockSpec((1, 1, B + 4, k), lambda i, j: (i, j, 0, 0))
+            pl.BlockSpec((1, 1, nch, k), lambda i, j: (i, j, 0, 0))
             for k in ks
         ),
         out_shape=tuple(
-            jax.ShapeDtypeStruct((nx, ny, B + 4, k), R.dtype) for k in ks
+            jax.ShapeDtypeStruct((nx, ny, nch, k), R.dtype) for k in ks
         ),
         compiler_params=_vmem_params(),
         interpret=_interp(),
@@ -190,7 +192,7 @@ def _bucket_pieces(args, c9):
 
 
 def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
-                    raw_phi):
+                    raw_phi, with_d=False):
     pos_args = args[: POS_PIECES * 9 + POS_PIECES]
     out_refs = args[POS_PIECES * 9 + POS_PIECES:]
     offs = _koffs(ks)
@@ -205,6 +207,10 @@ def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
         )
         out_refs[c9][0, 0, B:B + 1] = fcutT
         out_refs[c9][0, 0, B + 1:B + 4] = dirsT
+        if with_d:
+            # distance channel for the geo-resident message backward
+            # (masked edges carry the safe d == 1 placeholder)
+            out_refs[c9][0, 0, B + 4:B + 5] = d
 
 
 # ------------------------------------------------------------------ bwd
@@ -287,17 +293,25 @@ def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
 
 
 # ------------------------------------------------------- public op + VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
-    return _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
+                       with_d=False):
+    return _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
+                         with_d)
 
 
-def _cgeo_fwd(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
-    out = _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
+def _cgeo_fwd(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi, with_d=False):
+    out = _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
+                             with_d)
     return out, (R, coff_fm, qcol, dcol, cw)
 
 
-def _cgeo_bwd(P, ks, rc, raw_phi, res, g):
+def _cgeo_bwd(P, ks, rc, raw_phi, with_d, res, g):
+    if with_d:
+        raise NotImplementedError(
+            "with_d geo is for the geo-resident message backward; pass it "
+            "through jax.lax.stop_gradient"
+        )
     R, coff_fm, qcol, dcol, cw = res
     dR = _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
     return dR, None, None, None, None
@@ -307,7 +321,7 @@ _column_geometry_p.defvjp(_cgeo_fwd, _cgeo_bwd)
 
 
 def column_geometry(R, coff_fm, refs, centers, widths, cutoff,
-                    raw_phi=False):
+                    raw_phi=False, with_d=False):
     """Fused per-edge geometry for the column layout.
 
     Args:
@@ -330,18 +344,18 @@ def column_geometry(R, coff_fm, refs, centers, widths, cutoff,
     """
     if not _cb._impl().startswith("pallas"):
         return column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
-                                   raw_phi)
+                                   raw_phi, with_d)
     cw = jnp.stack([
         jnp.asarray(centers, R.dtype),
         -0.5 / jnp.square(jnp.asarray(widths, R.dtype)),
     ], axis=1)                                                  # [B, 2]
     return _column_geometry_p(R, coff_fm, refs.qcol, refs.dcol, cw,
                               refs.P, refs.ksizes, float(cutoff),
-                              bool(raw_phi))
+                              bool(raw_phi), bool(with_d))
 
 
 def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
-                        raw_phi=False):
+                        raw_phi=False, with_d=False):
     """XLA reference implementation (numerics oracle for the kernel)."""
     from .colblock import _column_expand_xla, _column_gather_xla
     from .math import safe_norm
@@ -359,7 +373,10 @@ def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,
     phi = gaussian_rbf(d, jnp.asarray(centers, R.dtype),
                        jnp.asarray(widths, R.dtype))
     ch0 = phi * emask if raw_phi else phi * fcut[..., None]
-    geo = jnp.concatenate([ch0, fcut[..., None], dirs], axis=-1)
+    parts = [ch0, fcut[..., None], dirs]
+    if with_d:
+        parts.append(d[..., None])
+    geo = jnp.concatenate(parts, axis=-1)
     return split_geo(jnp.moveaxis(geo, -1, 2), refs.ksizes)
 
 

@@ -651,7 +651,7 @@ def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, D3 = x.shape
     F = D3 // 3
-    B1 = geo[0].shape[2] - 3
+    B1 = FW_aug.shape[0]
     if _resident_ok(A * D3 * 4 * pieces):
         xt = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
         mt = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
@@ -950,7 +950,7 @@ def _msg_fm_bwd_res_call(x, mu, geo, FW_aug, qcol, dcol, cots, P, ks,
     nx, ny, Ktot = qcol.shape
     A, D3 = x.shape
     F = D3 // 3
-    B1 = geo[0].shape[2] - 3
+    B1 = FW_aug.shape[0]
     xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
     mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
@@ -1004,7 +1004,7 @@ def _msg_fm_bwd_call(x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, pieces):
     nx, ny, Ktot = qcol.shape
     A, D3 = x.shape
     F = D3 // 3
-    B1 = geo[0].shape[2] - 3
+    B1 = FW_aug.shape[0]
     if _resident_ok(A * 4 * F * 4, 2 * qcol.size * 4):
         return _msg_fm_bwd_res_call(x, mu, geo, FW_aug, qcol, dcol, cots,
                                     P, ks, pieces)
@@ -1416,6 +1416,299 @@ def painn_message_columns_fm_fused_pallas(x, mu, R, geo, FW_aug, coff_fm,
     return _painn_message_fm_fused_p(x, mu, R, geo, FW_aug, coff_fm, cw,
                                      refs.qcol, refs.dcol, refs.P,
                                      refs.ksizes, rc)
+
+
+# ------------------------- geo-resident backward (hybrid fusion mode)
+# Round-4 finding (PERF.md): recomputing the geometry chain inside the
+# message kernels costs ~0.4 ms per kernel pass (position-selection dots
+# + exp/sqrt/cos VPU chain), x6 passes per step — while the standalone
+# geometry kernel computes it ONCE for ~0.1 ms and the geo tensors cost
+# only ~0.03 ms of HBM per read.  This backward therefore reads the geo
+# tensors (produced with an extra distance channel, with_d=True) like
+# the forward does and derives the *backward* geometry chain from them
+# alone:
+#   d    = stored channel B+4               (Mosaic cannot lower acos,
+#                                           so the inverse-cutoff trick
+#                                           is replaced by one channel)
+#   sin(pi d/rc) = sqrt(1 - (2 fcut - 1)^2) (no transcendental)
+#   phi  = (phi*fcut) / max(fcut, tiny)     (stored channel / fcut)
+#   grij = (gdir - dirs*(gdir.dirs)) / d + gd * dirs
+# so no position inputs, no per-edge recompute dots and no exp/cos/sqrt
+# remain in the backward; dR comes out of the same one-hot folds.
+# Dead edges (masked, or beyond the model cutoff inside the skin) have
+# fcut == 0, which zeroes both gd terms and gdir, hence grij == 0,
+# independent of their placeholder d.
+
+
+def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
+                              cw_ref, *args, nx, ny, P, F, B, ks, rc,
+                              pieces):
+    geos = args[:9]                            # [B1+3, k_c9] dest blocks
+    xcols = args[9:9 + pieces]                 # own x column views
+    mucols = args[9 + pieces:9 + 2 * pieces]   # own mu column views
+    outs = args[9 + 2 * pieces:]
+    dx_ref = outs[0]
+    dmu_ref = outs[1]
+    gRo_ref = outs[2]
+    gRd_refs = outs[3:12]
+    gFW_ref = outs[12]
+    offs = _koffs(ks)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wprec = _w_precision(pieces)
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+
+    def _sel_own(cols, ohj):
+        acc_s = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][0, 0], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    acc_dx = None
+    acc_dmu = None
+    acc_gRo = None
+    for c9, (dx, dy) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i - dx + nx, nx)
+        yj = jax.lax.rem(j - dy + ny, ny)
+        qv = q_ref[xi, yj, 0, o0:o0 + k]
+        dv = d_ref[xi, yj, 0, o0:o0 + k]
+        ohj = _oh_vec(qv, P)
+        ohd = _oh_vec(dv, P)
+        geoT = geos[c9][0, 0].T                            # [k, B1+4]
+        rbf = geoT[:, :B + 1]
+        dirs = geoT[:, B + 1:B + 4]
+        # recompute forward intermediates (sources are in MY column)
+        xj = _sel_own(xcols, ohj)
+        mu_j = _sel_own(mucols, ohj)
+        W = jax.lax.dot_general(
+            rbf, FW_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        xjW = xj * W
+        dmuR = xjW[:, F:2 * F]
+        dmumu = xjW[:, 2 * F:]
+        gcat = jnp.concatenate([gq_ref[xi, yj], gmu_ref[xi, yj]], axis=-1)
+        gmsg = None
+        for piece in _split_f32(gcat, pieces):
+            d = jax.lax.dot_general(
+                ohd, piece, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            gmsg = d if gmsg is None else gmsg + d         # [k, 4F]
+        gqe = gmsg[:, :F]
+        gdmuR = None
+        gdmumu = None
+        gdir_parts = []
+        gmuj_parts = []
+        for x in range(3):
+            gmux = gmsg[:, (1 + x) * F:(2 + x) * F]
+            mujx = mu_j[:, x * F:(x + 1) * F]
+            t = gmux * dirs[:, x:x + 1]
+            gdmuR = t if gdmuR is None else gdmuR + t
+            t2 = gmux * mujx
+            gdmumu = t2 if gdmumu is None else gdmumu + t2
+            gmuj_parts.append(gmux * dmumu)
+            gdir_parts.append(jnp.sum(gmux * dmuR, axis=-1, keepdims=True))
+        gxjW = jnp.concatenate([gqe, gdmuR, gdmumu], axis=-1)
+        gxj = gxjW * W
+        gW = gxjW * xj
+        grbf = jax.lax.dot_general(
+            gW, FW_ref[...], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )                                                  # [k, B+1]
+        gFW_ref[...] += jax.lax.dot_general(
+            rbf, gW, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=wprec,
+        )
+        gmu_e = jnp.concatenate(gmuj_parts, axis=-1)
+        for piece in _split_f32(gxj, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dx = d if acc_dx is None else acc_dx + d   # [P, 3F]
+        for piece in _split_f32(gmu_e, pieces):
+            d = jax.lax.dot_general(
+                ohj, piece, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_dmu = d if acc_dmu is None else acc_dmu + d  # [P, 3F]
+        # ---- position cotangent from the STORED geometry --------------
+        # CHANNEL-MAJOR ([ch, k], packed edge axis on lanes): [k, B]- or
+        # [k, 1]-shaped VPU ops would use B/128 or 1/128 lanes (the
+        # measured 2.5x trap of the first geometry-kernel version).
+        geo_cm = geos[c9][0, 0]                            # [B1+4, k]
+        rbf_cm = geo_cm[:B]                                # phi*fcut
+        fcutT = geo_cm[B:B + 1]                            # [1, k]
+        dirsT = geo_cm[B + 1:B + 4]                        # [3, k]
+        ddT = geo_cm[B + 4:B + 5]                          # [1, k]
+        cosv = 2.0 * fcutT - 1.0
+        # sin(pi d / rc) without a transcendental; identically 0 for
+        # dead/masked/out-of-cutoff edges (fcut == 0 -> cos == -1)
+        sinv = jnp.sqrt(jnp.maximum(1.0 - cosv * cosv, 0.0))
+        dfcut_dd = (-0.5 * np.pi / rc) * sinv              # [1, k]
+        phiT = rbf_cm * (1.0 / jnp.maximum(fcutT, 1e-30))  # [B, k]
+        centers = cw_ref[:, 0:1]                           # [B, 1]
+        coeff = cw_ref[:, 1:2]
+        diffT = ddT - centers                              # [B, k]
+        dphi_dd = (2.0 * coeff) * diffT * phiT
+        grbfT = grbf.T                                     # [B+1, k]
+        gphi_fc = grbfT[:B]
+        gfc = grbfT[B:B + 1]
+        gd = (
+            jnp.sum(gphi_fc * dphi_dd, axis=0, keepdims=True) * fcutT
+            + (jnp.sum(gphi_fc * phiT, axis=0, keepdims=True) + gfc)
+            * dfcut_dd
+        )                                                  # [1, k]
+        gdirT = jnp.concatenate(gdir_parts, axis=-1).T     # [3, k]
+        s = jnp.sum(gdirT * dirsT, axis=0, keepdims=True)
+        inv_d = 1.0 / jnp.maximum(ddT, 1e-6)
+        grijT = (gdirT - dirsT * s) * inv_d + gd * dirsT   # [3, k]
+        own = None
+        dst = None
+        for piece in _split_f32(grijT, _POSP):
+            a = jax.lax.dot_general(
+                piece, ohj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            own = a if own is None else own + a            # [3, P]
+            b = jax.lax.dot_general(
+                piece, ohd, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dst = b if dst is None else dst + b
+        acc_gRo = own if acc_gRo is None else acc_gRo + own
+        gRd_refs[c9][0, 0] = -dst
+    dx_ref[0, 0] = acc_dx
+    dmu_ref[0, 0] = acc_dmu
+    gRo_ref[0, 0] = acc_gRo
+
+
+def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
+                            P, ks, rc, pieces):
+    g_dq, g_dmu = cots
+    nx, ny, Ktot = qcol.shape
+    A, D3 = x.shape
+    F = D3 // 3
+    B = cw.shape[0]
+    B1 = B + 1
+    xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+    mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
+    gq5 = g_dq.reshape(nx, ny, P, F)
+    gmu5 = g_dmu.reshape(nx, ny, P, 3 * F)
+
+    def resident(shape4):
+        return pl.BlockSpec(shape4, lambda i, j: (0, 0, 0, 0))
+
+    gRd_specs = [
+        pl.BlockSpec(
+            (1, 1, 3, P),
+            functools.partial(
+                lambda i, j, dx, dy: ((i - dx) % nx, (j - dy) % ny, 0, 0),
+                dx=dx, dy=dy,
+            ),
+        )
+        for dx, dy in COL_OFFSETS
+    ]
+    outs = pl.pallas_call(
+        functools.partial(_msg_fm_bwd_geores_kernel, nx=nx, ny=ny, P=P,
+                          F=F, B=B, ks=ks, rc=rc, pieces=pieces),
+        grid=(nx, ny),
+        in_specs=[
+            resident((nx, ny, 1, Ktot)),           # qcol
+            resident((nx, ny, 1, Ktot)),           # dcol
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            resident((nx, ny, P, F)),              # g_dq
+            resident((nx, ny, P, 3 * F)),          # g_dmu
+            pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
+            # geo blocks carry B1+4 channels (with_d layout: the extra
+            # distance channel) — hence the B1+1 block-size argument
+        ] + _dest_geo_specs(nx, ny, ks, B1 + 1) + [
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
+            for _ in range(2 * pieces)
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0)),
+        ) + tuple(gRd_specs) + (
+            pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
+            jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype),
+        ) + tuple(
+            jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype) for _ in range(9)
+        ) + (
+            jax.ShapeDtypeStruct((B1, 3 * F), x.dtype),
+        ),
+        compiler_params=_vmem_params(),
+        interpret=_interp(),
+    )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5, cw,
+      *geo, *xh, *mh)
+    dx = outs[0]
+    dmu = outs[1]
+    gRT = outs[2]
+    for p in outs[3:12]:
+        gRT = gRT + p
+    gFW = outs[12]
+    dR = jnp.moveaxis(gRT, 2, 3).reshape(A, 3)
+    return dx.reshape(A, D3), dmu.reshape(A, D3), dR, gFW
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _painn_message_fm_geores_p(x, mu, R, geo, FW_aug, coff_fm, cw, qcol,
+                               dcol, P, ks, rc):
+    return _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks,
+                            _cb.PIECES)
+
+
+def _pmfg_fwd(x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, P, ks, rc):
+    out = _painn_message_fm_geores_p(x, mu, R, geo, FW_aug, coff_fm, cw,
+                                     qcol, dcol, P, ks, rc)
+    return out, (x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol)
+
+
+def _pmfg_bwd(P, ks, rc, res, cots):
+    x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol = res
+    if _resident_ok(x.shape[0] * 4 * (x.shape[1] // 3) * 4,
+                    2 * qcol.size * 4):
+        dx, dmu, dR, gFW = _msg_fm_bwd_geores_call(
+            x, mu, geo, FW_aug, cw, qcol, dcol, cots, P, ks, rc,
+            _cb.PIECES)
+    else:
+        # non-resident fallback: unfused message bwd + geometry bwd
+        from .colblock_geo import _geo_bwd_call
+
+        dx, dmu, ggeo, gFW = _msg_fm_bwd_call(
+            x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+        dR = _geo_bwd_call(ggeo, R, coff_fm, qcol, dcol, cw, P, ks, rc,
+                           False)
+    zgeo = jax.tree.map(jnp.zeros_like, geo)
+    return dx, dmu, dR, zgeo, gFW, None, None, None, None
+
+
+_painn_message_fm_geores_p.defvjp(_pmfg_fwd, _pmfg_bwd)
+
+
+def painn_message_columns_fm_geores_pallas(x, mu, R, geo, FW_aug, coff_fm,
+                                           cw, refs, rc):
+    """Message forward on precomputed geo, with a backward that derives
+    the geometry chain from the STORED geo tensors (no position inputs,
+    no geometry recompute) and emits position cotangents directly.  Pass
+    ``geo`` through ``jax.lax.stop_gradient``."""
+    return _painn_message_fm_geores_p(x, mu, R, geo, FW_aug, coff_fm, cw,
+                                      refs.qcol, refs.dcol, refs.P,
+                                      refs.ksizes, rc)
 
 
 # --------------------- fully fused forward (geometry recomputed in-kernel)

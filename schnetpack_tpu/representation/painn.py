@@ -57,7 +57,17 @@ class PaiNNInteraction(nn.Module):
         if fused_ctx is not None:
             # blocked layouts: gather + filter + message + neighbor-sum run
             # as one fused kernel; no [A, K, 3F] tensor is ever materialised
-            if fused_ctx[0] == "column_full_fused":
+            if fused_ctx[0] == "column_fm_geores":
+                # hybrid: precomputed geo, geo-resident backward that
+                # emits position cotangents directly
+                from ..ops.colblock import painn_message_columns_fm_geores
+
+                _, geo, FW_aug, refs, R_tab, coff_fm, cw, rc = fused_ctx
+                dq_sum, dmu_sum = painn_message_columns_fm_geores(
+                    x, mu.reshape(A, 3 * F), R_tab, geo, FW_aug,
+                    coff_fm, cw, refs, rc
+                )
+            elif fused_ctx[0] == "column_full_fused":
                 # fully fused: the per-edge geometry is recomputed inside
                 # both the forward and backward message kernels; position
                 # cotangents come straight out of the backward
@@ -251,9 +261,25 @@ class PaiNN(nn.Module):
                     jnp.asarray(centers, _dt),
                     -0.5 / jnp.square(jnp.asarray(widths, _dt)),
                 ], axis=1)
-                if _cbmod._impl().startswith("pallas"):
+                if (_cbmod._impl().startswith("pallas")
+                        and _cbmod.FUSE == "full"):
                     fused_full = True
                     fused_geo = None
+                elif _cbmod._impl().startswith("pallas"):
+                    # hybrid: geometry kernel once per step; message
+                    # kernels (fwd AND the geo-resident bwd) read the geo
+                    # tensors; position cotangents still come straight
+                    # out of the message backward (stop_gradient breaks
+                    # the second R path through the geometry kernel)
+                    from ..ops.colblock_geo import column_geometry
+
+                    fused_full = "geores"
+                    fused_geo = jax.lax.stop_gradient(column_geometry(
+                        inputs[properties.R],
+                        inputs[properties.cell_coff_fm],
+                        col_refs, centers, widths, cutoff_fn.cutoff,
+                        with_d=True,
+                    ))
                 else:
                     from ..ops.colblock_geo import column_geometry
 
@@ -312,7 +338,16 @@ class PaiNN(nn.Module):
                 FW_aug = jnp.concatenate(
                     [FWm[:, s:s + 3 * F], bias[None, s:s + 3 * F]], axis=0
                 )
-                if fused_full:
+                if fused_full == "geores":
+                    # hybrid pallas path: fwd + geo-resident bwd read the
+                    # precomputed geo tensors; dR comes out of the bwd
+                    fused_ctx_list.append((
+                        "column_fm_geores", fused_geo, FW_aug, col_refs,
+                        inputs[properties.R],
+                        inputs[properties.cell_coff_fm], geo_cw,
+                        float(cutoff_fn.cutoff),
+                    ))
+                elif fused_full:
                     # pallas path: geometry recomputed inside the message
                     # kernels, forward and backward — no geo tensors
                     fused_ctx_list.append((

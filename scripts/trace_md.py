@@ -48,8 +48,22 @@ def build_sim(mode, n_atoms):
     system = load_molecules([mol])
     system = MaxwellBoltzmannInit(30.0).initialize_system(
         system, jax.random.PRNGKey(1))
-    calc = SchNetPackCalculator(pot, params, cutoff=cutoff, cutoff_shell=0.3,
-                                neighbor_list=mode)
+    if mode == "cellblock":
+        # production bench settings: column layout, tight capacity probe,
+        # bf16 feature precision
+        from schnetpack_tpu.md.neighborlist_md import CellBlockNeighborListMD
+        from schnetpack_tpu.units import _parse_unit, md_units
+
+        conv = _parse_unit("Ang") * md_units().length
+        nbl = CellBlockNeighborListMD(cutoff * conv, skin=0.6 * conv,
+                                      layout="column", jitter_fraction=0.25,
+                                      bucket_headroom=1.0 / 12.0)
+        calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                    cutoff_shell=0.6, neighbor_list=nbl,
+                                    precision="bf16")
+    else:
+        calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                    cutoff_shell=0.3, neighbor_list=mode)
     return Simulator(system, VelocityVerlet(0.5), calc, progress=False)
 
 

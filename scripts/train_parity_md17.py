@@ -13,6 +13,18 @@ reference configs/experiment/md17.yaml:57-70).
 
 Reported: held-out force MAE / energy MAE in kcal/mol(/A), the units of
 the published MD17 tables.  Results are recorded in PARITY.md.
+
+Round-4 extensions (VERDICT r3 #2):
+* ``student="schnet"`` trains a SchNet student (reference md17 recipe:
+  128 features, 6 interactions, 20 Gaussian RBF — reference
+  configs/model/representation/schnet.yaml) on the same teacher labels,
+  converting "one model trains" into "the training stack is right".
+* ``molecule="aspirin"`` runs the protocol at aspirin scale (21 atoms,
+  C9H8O4).  The reference ships no aspirin-trained model, so the teacher
+  is still the ethanol PaiNN — an extrapolated but smooth+bounded PES
+  (sampling asserts the molecule stays associated); what is measured is
+  the training stack at 21-atom complexity, vs the published
+  PaiNN-aspirin force MAE 0.34 kcal/mol/A as the scale reference.
 """
 from __future__ import annotations
 
@@ -25,8 +37,42 @@ sys.path.insert(0, ".")
 
 EV2KCAL = 23.060547830619026
 
+# PubChem-style 3D geometry of aspirin (C9H8O4, 21 atoms, Angstrom).
+# Approximate gas-phase conformer; the sampling MD equilibrates it under
+# the teacher potential before any frame is collected.
+ASPIRIN_Z = np.array([6, 6, 6, 6, 6, 6,          # ring C1-C6
+                      6, 8, 8,                   # carboxyl C, =O, -OH O
+                      8, 6, 6, 8,                # ester O, acetyl C, CH3 C, acetyl =O
+                      1, 1, 1, 1,                # ring H x4
+                      1,                         # carboxyl OH H
+                      1, 1, 1])                  # methyl H x3
+ASPIRIN_R = np.array([
+    [0.000, 0.000, 0.000],     # C1 (carboxyl-bearing)
+    [1.396, 0.000, 0.000],     # C2 (ester-bearing)
+    [2.090, 1.212, 0.000],     # C3
+    [1.396, 2.424, 0.000],     # C4
+    [0.000, 2.424, 0.000],     # C5
+    [-0.698, 1.212, 0.000],    # C6
+    [-0.770, -1.264, 0.030],   # C7 carboxyl C
+    [-0.230, -2.360, 0.040],   # O8 =O
+    [-2.110, -1.130, 0.050],   # O9 -OH
+    [2.120, -1.190, 0.010],    # O10 ester O
+    [2.480, -1.740, 1.190],    # C11 acetyl C
+    [3.260, -2.990, 1.000],    # C12 methyl C
+    [2.180, -1.250, 2.260],    # O13 acetyl =O
+    [3.170, 1.210, 0.000],     # H on C3
+    [1.940, 3.360, 0.000],     # H on C4
+    [-0.545, 3.360, 0.000],    # H on C5
+    [-1.780, 1.210, 0.000],    # H on C6
+    [-2.630, -1.950, 0.060],   # H on O9 (anti, away from the ring)
+    [4.050, -2.840, 1.710],    # H methyl
+    [2.580, -3.760, 0.630],    # H methyl
+    [3.760, -3.280, 1.920],    # H methyl
+])
 
-def main(n_train=900, n_val=100, epochs=400, seed=0):
+
+def main(n_train=900, n_val=100, epochs=400, seed=0, student="painn",
+         molecule="ethanol"):
     import jax
     import jax.numpy as jnp
 
@@ -48,12 +94,16 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     ref_pot, ref_params, info = import_torch_model(
         "/root/reference/tests/testdata/md_ethanol.model")
 
-    # base geometry from the reference testdata xyz
-    lines = open("/root/reference/tests/testdata/md_ethanol.xyz").read().split("\n")
-    na = int(lines[0])
-    sym2z = {"H": 1, "C": 6, "O": 8}
-    Z = np.array([sym2z[l.split()[0]] for l in lines[2:2 + na]])
-    R0 = np.array([[float(x) for x in l.split()[1:4]] for l in lines[2:2 + na]])
+    if molecule == "aspirin":
+        Z, R0 = ASPIRIN_Z, ASPIRIN_R
+        na = len(Z)
+    else:
+        # base geometry from the reference testdata xyz
+        lines = open("/root/reference/tests/testdata/md_ethanol.xyz").read().split("\n")
+        na = int(lines[0])
+        sym2z = {"H": 1, "C": 6, "O": 8}
+        Z = np.array([sym2z[l.split()[0]] for l in lines[2:2 + na]])
+        R0 = np.array([[float(x) for x in l.split()[1:4]] for l in lines[2:2 + na]])
 
     nlt = NeighborListTransform(info["cutoff"])
     pad = PaddingSpec(n_atoms=na + 3, n_pairs=128, n_molecules=2)
@@ -76,10 +126,15 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     )
     from schnetpack_tpu.md.calculators import SchNetPackCalculator
 
+    # aspirin runs on an extrapolated teacher (ethanol-trained PaiNN):
+    # sample at a gentler 200 K so the unseen aromatic/ester moieties
+    # stay on a smooth, bounded region of the teacher PES
+    T_sample = 200.0 if molecule == "aspirin" else 300.0
+    span_max = 9.5 if molecule == "aspirin" else 8.0
     mol = {P.Z: Z, P.R: R0, P.cell: np.zeros((3, 3)),
            P.pbc: np.zeros(3, bool)}
     system = load_molecules([mol])
-    system = MaxwellBoltzmannInit(300.0).initialize_system(
+    system = MaxwellBoltzmannInit(T_sample).initialize_system(
         system, jax.random.PRNGKey(seed))
     # md_ethanol.model is an MD17-trained model: its outputs are
     # kcal/mol, NOT eV (reference tutorial_04_molecular_dynamics.ipynb
@@ -89,7 +144,7 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     calc = SchNetPackCalculator(ref_pot, ref_params, cutoff=info["cutoff"],
                                 energy_unit="kcal/mol")
     sim = Simulator(system, VelocityVerlet(0.5), calc,
-                    simulator_hooks=[LangevinThermostat(300.0, 100.0)],
+                    simulator_hooks=[LangevinThermostat(T_sample, 100.0)],
                     progress=False, log_keys=("positions", "temperature"),
                     seed=seed)
 
@@ -124,8 +179,8 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
     print(f"sampled {len(R_frames)} MD frames in {time.time()-t0:.1f}s; "
           f"<T>={T_prod.mean():.0f} K; max interatomic dist {span:.2f} A",
           flush=True)
-    assert abs(T_prod.mean() - 300.0) < 60.0, "sampling not at 300 K"
-    assert span < 8.0, "molecule dissociated during sampling"
+    assert abs(T_prod.mean() - T_sample) < 0.2 * T_sample, "sampling off temperature"
+    assert span < span_max, "molecule dissociated during sampling"
 
     samples = []
     t0 = time.time()
@@ -164,12 +219,24 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
                              shuffle=False, padding=PaddingSpec(
                                  32 * (na + 1), 32 * 80, 33))
 
-    # ---- student: fresh PaiNN, reference md17 recipe -----------------
+    # ---- student: fresh net, reference md17 recipe --------------------
+    if student == "schnet":
+        # reference configs/model/representation/schnet.yaml: 128
+        # features, 6 interactions, 20 Gaussian RBF, ssp activation
+        from schnetpack_tpu.representation import SchNet
+
+        rep = SchNet(n_atom_basis=128, n_interactions=6, n_rbf=20,
+                     cutoff=info["cutoff"])
+        out_act = None
+    else:
+        rep = PaiNN(n_atom_basis=128, n_interactions=3, n_rbf=20,
+                    cutoff=info["cutoff"], activation=jax.nn.silu)
+        out_act = jax.nn.silu
     pot = NeuralNetworkPotential(
-        representation=PaiNN(n_atom_basis=128, n_interactions=3, n_rbf=20,
-                             cutoff=info["cutoff"], activation=jax.nn.silu),
+        representation=rep,
         input_modules=[PairwiseDistances()],
-        output_modules=[Atomwise(output_key="energy", activation=jax.nn.silu),
+        output_modules=[Atomwise(output_key="energy",
+                                 **({"activation": out_act} if out_act else {})),
                         Forces()],
     )
     task = AtomisticTask(
@@ -208,7 +275,8 @@ def main(n_train=900, n_val=100, epochs=400, seed=0):
         d.append(float(out["energy"][0]) - float(s["energy"][0]))
     d = np.array(d)
     e_mae_rel = float(np.abs(d - d.mean()).mean())
-    print("== MD17-ethanol label-regeneration parity ==", flush=True)
+    print(f"== MD17-{molecule} label-regeneration parity "
+          f"(student={student}) ==", flush=True)
     print(f"force MAE: {f_mae:.5f} kcal/mol/A = "
           f"{f_mae / EV2KCAL:.5f} eV/A", flush=True)
     print(f"energy MAE: {e_mae:.5f} kcal/mol "
@@ -223,4 +291,8 @@ if __name__ == "__main__":
     kw = {}
     if len(sys.argv) > 1:
         kw["epochs"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kw["student"] = sys.argv[2]
+    if len(sys.argv) > 3:
+        kw["molecule"] = sys.argv[3]
     main(**kw)

@@ -521,6 +521,7 @@ class TestFusedGeometryBackward:
                 return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
 
             from schnetpack_tpu.ops.colblock import (
+                painn_message_columns_fm_geores,
                 painn_message_columns_full_fused,
             )
 
@@ -530,9 +531,19 @@ class TestFusedGeometryBackward:
                     x, mu, Rv, fw, coff_fm, cw, refs, cutoff)
                 return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
 
+            def loss_geores(args):
+                # geo-resident backward: geo carries the extra d channel
+                x, mu, Rv, fw = args
+                geo = jax.lax.stop_gradient(cg.column_geometry(
+                    Rv, coff_fm, refs, centers, widths, cutoff,
+                    with_d=True))
+                dq, dmu = painn_message_columns_fm_geores(
+                    x, mu, Rv, geo, fw, coff_fm, cw, refs, cutoff)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
             args = (x0, mu0, Rs, FW)
             v1, g1 = jax.value_and_grad(loss_ref)(args)
-            for loss_other in (loss_fused, loss_full):
+            for loss_other in (loss_fused, loss_full, loss_geores):
                 v2, g2 = jax.value_and_grad(loss_other)(args)
                 np.testing.assert_allclose(v1, v2, rtol=1e-6)
                 for n, a, b in zip(["x", "mu", "R", "FW"], g1, g2):

@@ -103,6 +103,39 @@ def test_batchwise_lbfgs_reduces_forces(potential):
     assert info["fmax"].max() < 0.5 * max(np.abs(np.concatenate(f0)).max(), 1e-9)
 
 
+def test_optimize_writes_trajectory_artifacts(potential, tmp_path):
+    """AseInterface.optimize leaves resumable on-disk artifacts: an
+    extxyz trajectory with energies+forces, an optimizer log, and the
+    relaxed geometry — reloadable by our own reader (and ASE-compatible).
+    Parity: reference ase_interface.py:759-800."""
+    from schnetpack_tpu.datasets.xyz import read_extxyz_file
+
+    pot, params = potential
+    calc = SpkCalculator(pot, params, cutoff=CUTOFF)
+    w = water()
+    w[P.R] = w[P.R] + np.random.RandomState(1).rand(3, 3) * 0.05
+    iface = AseInterface(w, calc, working_dir=str(tmp_path))
+    info = iface.optimize(fmax=5e-3, steps=40)
+
+    frames = read_extxyz_file(str(tmp_path / "optimization.extxyz"))
+    assert len(frames) >= 2                       # initial + >=1 step
+    np.testing.assert_array_equal(frames[0]["numbers"], [8, 1, 1])
+    # the last trajectory frame is the relaxed geometry
+    np.testing.assert_allclose(
+        frames[-1]["positions"], np.asarray(iface.atoms[P.R]), atol=1e-8
+    )
+    # energies/forces embedded in the comment line / extra columns
+    assert "energy=" in frames[0]["comment"]
+    assert "forces" in frames[0]["comment"]
+    final = read_extxyz_file(str(tmp_path / "optimization_final.extxyz"))
+    np.testing.assert_allclose(
+        final[0]["positions"], np.asarray(iface.atoms[P.R]), atol=1e-8
+    )
+    log = (tmp_path / "optimization.log").read_text().splitlines()
+    assert log[0].startswith("BatchwiseLBFGS")
+    assert len(log) == len(frames) + 1            # header + one per frame
+
+
 def test_ase_interface_single_point_and_modes(potential):
     pot, params = potential
     calc = SpkCalculator(pot, params, cutoff=CUTOFF)

@@ -104,29 +104,74 @@ class ANI1(DownloadableDataModule):
 class QM7X(DownloadableDataModule):
     """QM7-X: 4.2M equilibrium+perturbed structures (HDF5 sets).
 
-    Parity: ``datasets/qm7x.py`` (454 LoC incl. duplicate filtering)."""
+    Parity: ``datasets/qm7x.py`` — the reference's full property map
+    (``property_dataset_keys``, qm7x.py:139-148; NB the reference
+    mistakenly assigns ``FPBE0 = "FMBD"``, colliding the two force keys —
+    here FPBE0 really maps to the ``pbe0FOR`` payload), its equilibrium
+    duplicate filtering via DupMols.dat (qm7x.py:248-262, :333-336), the
+    only_equilibrium / only_non_equilibrium selectors, the hierarchical
+    group-id metadata for GroupSplit (qm7x.py:326-378) and the PBE0
+    atomrefs."""
 
     base_url = "https://zenodo.org/record/4288677/files/"
     sets = ["1000", "2000", "3000", "4000", "5000", "6000", "7000", "8000"]
+    #: output property -> (raw HDF5 key, unit) — reference qm7x.py:127-148
     property_map = {
         "energy": ("ePBE0+MBD", "eV"),
         "forces": ("totFOR", "eV/Ang"),
+        "Eat": ("eAT", "eV"),
+        "EPBE0": ("ePBE0", "eV"),
+        "EMBD": ("eMBD", "eV"),
+        "FPBE0": ("pbe0FOR", "eV/Ang"),
+        "FMBD": ("vdwFOR", "eV/Ang"),
+        "rmsd": ("sRMSD", "Ang"),
         "dipole_moment": ("vDIP", "e*Ang"),
         "polarizability": ("mPOL", "a0^3"),
     }
+    #: PBE0 atomic reference energies (reference qm7x.py:151-159)
+    EPBE0_atom = {
+        1: -13.641404161,
+        6: -1027.592489146,
+        7: -1484.274819088,
+        8: -2039.734879322,
+        16: -10828.707468187,
+        17: -12516.444619523,
+    }
 
-    def __init__(self, *args, only_equilibrium: bool = False, **kwargs):
+    def __init__(self, *args, only_equilibrium: bool = False,
+                 only_non_equilibrium: bool = False,
+                 remove_duplicates: bool = True, **kwargs):
         super().__init__(*args, **kwargs)
         self.only_equilibrium = only_equilibrium
+        self.only_non_equilibrium = only_non_equilibrium
+        self.remove_duplicates = remove_duplicates
+
+    def _duplicate_ids(self) -> set:
+        """Truncated conf ids of duplicated equilibrium structures, from
+        Zenodo's DupMols.dat (one ``...xyz`` name per line; the reference
+        strips the extension, qm7x.py:258-262)."""
+        path = os.path.join(self.raw_dir, "DupMols.dat")
+        if not os.path.exists(path):
+            path = self._fetch(self.base_url + "DupMols.dat", "DupMols.dat")
+        with open(path) as f:
+            return {line.rstrip("\n")[:-4] for line in f if line.strip()}
 
     def _build_database(self) -> None:
+        import re as _re
+
         import h5py
 
         ds = ASEAtomsData.create(
             self.datapath,
             distance_unit="Ang",
             property_unit_dict={k: u for k, (_, u) in self.property_map.items()},
+            atomrefs={"EPBE0": [
+                self.EPBE0_atom.get(z, 0.0) for z in range(100)
+            ]},
         )
+        dup_ids = self._duplicate_ids() if self.remove_duplicates else set()
+        groups = {"smiles_id": [], "stereo_iso_id": [], "conform_id": [],
+                  "step_id": []}
         found = False
         for set_id in self.sets:
             path = os.path.join(self.raw_dir, f"{set_id}.hdf5")
@@ -137,7 +182,16 @@ class QM7X(DownloadableDataModule):
                 systems = []
                 for mol in f.values():
                     for conf_name, conf in mol.items():
-                        if self.only_equilibrium and "opt" not in conf_name:
+                        is_eq = "opt" in conf_name
+                        if self.only_equilibrium and not is_eq:
+                            continue
+                        if self.only_non_equilibrium and is_eq:
+                            continue
+                        # drop duplicated equilibrium conformations (and
+                        # their perturbed children): the id minus its last
+                        # "-<step>" segment indexes DupMols.dat
+                        trunc = conf_name.rsplit("-", 1)[0]
+                        if trunc in dup_ids:
                             continue
                         props = {
                             out: np.asarray(conf[src][()])
@@ -155,6 +209,12 @@ class QM7X(DownloadableDataModule):
                                 **props,
                             )
                         )
+                        # hierarchical ids (Geom-mX-iY-cZ-{opt|dW}) for
+                        # GroupSplit over e.g. smiles_id
+                        cid = (conf_name[:-3] + "d0") if is_eq else conf_name
+                        ids = [int(x) for x in _re.findall(r"\d+", cid)]
+                        for key, val in zip(groups, ids):
+                            groups[key].append(val)
                         if len(systems) > 20000:
                             ds.add_systems(systems)
                             systems = []
@@ -162,6 +222,9 @@ class QM7X(DownloadableDataModule):
                     ds.add_systems(systems)
         if not found:
             raise RuntimeError("no QM7-X set files found")
+        ds.update_metadata(groups_ids={
+            **groups, "id": list(range(1, len(groups["smiles_id"]) + 1)),
+        })
 
 
 class MaterialsProject(DownloadableDataModule):

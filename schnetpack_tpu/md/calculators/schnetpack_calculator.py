@@ -40,6 +40,7 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         neighbor_list="all_pairs",  # "all_pairs" | "dense" | "cellblock"
                                     # | "cellblock_atom" | an NBL instance
         precision: Optional[str] = None,   # "bf16" | "mixed" | "f32"
+        wgrad: bool = False,
     ):
         super().__init__(
             cutoff=cutoff,
@@ -64,6 +65,14 @@ class SchNetPackCalculator(PairwiseMDCalculator):
             from ...ops import cellblock as _cb
 
             _cb.PIECES = {"bf16": 1, "mixed": 2, "f32": 3}[precision]
+        # MD only differentiates wrt positions — the filter-weight
+        # cotangent (gFW) accumulated by the column message backward
+        # kernels is dead work here (~11% of the backward at 10k atoms).
+        # The flag is read at trace time by the kernels' custom_vjp;
+        # training paths (flat/dense layouts, or wgrad=True) keep it.
+        from ...ops import cellblock as _cbw
+
+        _cbw.WGRAD = bool(wgrad)
         if not isinstance(neighbor_list, str):
             # a pre-configured NBL instance (reference semantics: the md
             # configs hand the calculator an NeighborListMD object,

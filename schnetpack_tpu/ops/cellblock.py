@@ -91,6 +91,14 @@ PIECES: int = int(_os.environ.get("SPK_TPU_PIECES", "3"))
 # HBM reads.  Both paths are numerically identical (bit-exact forces).
 FUSE: str = _os.environ.get("SPK_TPU_FUSE", "hybrid")
 
+# Whether the column message BACKWARD kernels accumulate the filter-weight
+# cotangent gFW.  Training needs it; MD/inference only differentiates wrt
+# positions (through x/mu/R), and the gFW accumulation is a pure
+# depth/width-128-padded matmul tax (~25 GFLOP padded per interaction at
+# the 10k-atom bench, ~11% of the backward kernel).  MD calculators set
+# this to False before tracing their step functions.
+WGRAD: bool = _os.environ.get("SPK_TPU_WGRAD", "1") != "0"
+
 
 def _impl() -> str:
     if IMPL is not None:

@@ -1114,7 +1114,7 @@ _POSP = 3  # bf16 split pieces for exact-f32 position selection
 
 def _msg_fm_bwd_fused_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
                              cw_ref, coff_ref, *args,
-                             nx, ny, P, F, B, ks, rc, pieces):
+                             nx, ny, P, F, B, ks, rc, pieces, wgrad=True):
     pos_own = args[:_POSP]
     pos_dest = args[_POSP:_POSP + 9 * _POSP]
     xcols = args[_POSP + 9 * _POSP:_POSP + 9 * _POSP + pieces]
@@ -1125,15 +1125,16 @@ def _msg_fm_bwd_fused_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
     dmu_ref = outs[1]
     gRo_ref = outs[2]
     gRd_refs = outs[3:12]
-    gFW_ref = outs[12]
+    gFW_ref = outs[12] if wgrad else None
     offs = _koffs(ks)
     i = pl.program_id(0)
     j = pl.program_id(1)
     wprec = _w_precision(pieces)
 
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+    if wgrad:
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            gFW_ref[...] = jnp.zeros_like(gFW_ref)
 
     def _sel_own(cols, ohj):
         acc_s = None
@@ -1223,10 +1224,11 @@ def _msg_fm_bwd_fused_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
             gW, FW_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=wprec,
         )                                                      # [k, B+1]
-        gFW_ref[...] += jax.lax.dot_general(
-            rbf, gW, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=wprec,
-        )
+        if wgrad:
+            gFW_ref[...] += jax.lax.dot_general(
+                rbf, gW, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=wprec,
+            )
         gmu_e = jnp.concatenate(gmuj_parts, axis=-1)
         for piece in _split_f32(gxj, pieces):
             d = jax.lax.dot_general(
@@ -1277,7 +1279,7 @@ def _msg_fm_bwd_fused_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
 
 
 def _msg_fm_bwd_fused_call(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol,
-                           cots, P, ks, rc, pieces):
+                           cots, P, ks, rc, pieces, wgrad=True):
     from .colblock_geo import _posT_pieces
 
     g_dq, g_dmu = cots
@@ -1321,7 +1323,8 @@ def _msg_fm_bwd_fused_call(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol,
 
     outs = pl.pallas_call(
         functools.partial(_msg_fm_bwd_fused_kernel, nx=nx, ny=ny, P=P,
-                          F=F, B=B, ks=ks, rc=rc, pieces=pieces),
+                          F=F, B=B, ks=ks, rc=rc, pieces=pieces,
+                          wgrad=wgrad),
         grid=(nx, ny),
         in_specs=[
             resident((nx, ny, 1, Ktot)),           # qcol
@@ -1342,18 +1345,18 @@ def _msg_fm_bwd_fused_call(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol,
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0)),
-        ) + tuple(gRd_specs) + (
+        ) + tuple(gRd_specs) + ((
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-        ),
+        ) if wgrad else ()),
         out_shape=(
             jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
             jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
             jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype),
         ) + tuple(
             jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype) for _ in range(9)
-        ) + (
+        ) + ((
             jax.ShapeDtypeStruct((B1, 3 * F), x.dtype),
-        ),
+        ) if wgrad else ()),
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5,
@@ -1366,7 +1369,7 @@ def _msg_fm_bwd_fused_call(x, mu, R, FW_aug, coff_fm, cw, qcol, dcol,
     gRT = outs[2]
     for p in outs[3:12]:
         gRT = gRT + p
-    gFW = outs[12]
+    gFW = outs[12] if wgrad else jnp.zeros_like(FW_aug)
     dR = jnp.moveaxis(gRT, 2, 3).reshape(A, 3)
     return dx.reshape(A, D3), dmu.reshape(A, D3), dR, gFW
 
@@ -1390,7 +1393,7 @@ def _pmff_bwd(P, ks, rc, res, cots):
                     2 * qcol.size * 4):
         dx, dmu, dR, gFW = _msg_fm_bwd_fused_call(
             x, mu, R, FW_aug, coff_fm, cw, qcol, dcol, cots, P, ks, rc,
-            _cb.PIECES)
+            _cb.PIECES, wgrad=_cb.WGRAD)
     else:
         # non-resident fallback: unfused message bwd + geometry bwd
         from .colblock_geo import _geo_bwd_call
@@ -1442,7 +1445,7 @@ def painn_message_columns_fm_fused_pallas(x, mu, R, geo, FW_aug, coff_fm,
 
 def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
                               cw_ref, *args, nx, ny, P, F, B, ks, rc,
-                              pieces):
+                              pieces, wgrad=True):
     geos = args[:9]                            # [B1+3, k_c9] dest blocks
     xcols = args[9:9 + pieces]                 # own x column views
     mucols = args[9 + pieces:9 + 2 * pieces]   # own mu column views
@@ -1451,15 +1454,16 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
     dmu_ref = outs[1]
     gRo_ref = outs[2]
     gRd_refs = outs[3:12]
-    gFW_ref = outs[12]
+    gFW_ref = outs[12] if wgrad else None
     offs = _koffs(ks)
     i = pl.program_id(0)
     j = pl.program_id(1)
     wprec = _w_precision(pieces)
 
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        gFW_ref[...] = jnp.zeros_like(gFW_ref)
+    if wgrad:
+        @pl.when((i == 0) & (j == 0))
+        def _():
+            gFW_ref[...] = jnp.zeros_like(gFW_ref)
 
     def _sel_own(cols, ohj):
         acc_s = None
@@ -1524,10 +1528,11 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
             gW, FW_ref[...], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=wprec,
         )                                                  # [k, B+1]
-        gFW_ref[...] += jax.lax.dot_general(
-            rbf, gW, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=wprec,
-        )
+        if wgrad:
+            gFW_ref[...] += jax.lax.dot_general(
+                rbf, gW, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=wprec,
+            )
         gmu_e = jnp.concatenate(gmuj_parts, axis=-1)
         for piece in _split_f32(gxj, pieces):
             d = jax.lax.dot_general(
@@ -1593,7 +1598,7 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
 
 
 def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
-                            P, ks, rc, pieces):
+                            P, ks, rc, pieces, wgrad=True):
     g_dq, g_dmu = cots
     nx, ny, Ktot = qcol.shape
     A, D3 = x.shape
@@ -1620,7 +1625,8 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
     ]
     outs = pl.pallas_call(
         functools.partial(_msg_fm_bwd_geores_kernel, nx=nx, ny=ny, P=P,
-                          F=F, B=B, ks=ks, rc=rc, pieces=pieces),
+                          F=F, B=B, ks=ks, rc=rc, pieces=pieces,
+                          wgrad=wgrad),
         grid=(nx, ny),
         in_specs=[
             resident((nx, ny, 1, Ktot)),           # qcol
@@ -1635,22 +1641,22 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
             for _ in range(2 * pieces)
         ],
-        out_specs=(
+    out_specs=(
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 3, P), lambda i, j: (i, j, 0, 0)),
-        ) + tuple(gRd_specs) + (
+        ) + tuple(gRd_specs) + ((
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-        ),
+        ) if wgrad else ()),
         out_shape=(
             jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
             jax.ShapeDtypeStruct((nx, ny, P, D3), x.dtype),
             jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype),
         ) + tuple(
             jax.ShapeDtypeStruct((nx, ny, 3, P), x.dtype) for _ in range(9)
-        ) + (
+        ) + ((
             jax.ShapeDtypeStruct((B1, 3 * F), x.dtype),
-        ),
+        ) if wgrad else ()),
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5, cw,
@@ -1660,7 +1666,7 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
     gRT = outs[2]
     for p in outs[3:12]:
         gRT = gRT + p
-    gFW = outs[12]
+    gFW = outs[12] if wgrad else jnp.zeros_like(FW_aug)
     dR = jnp.moveaxis(gRT, 2, 3).reshape(A, 3)
     return dx.reshape(A, D3), dmu.reshape(A, D3), dR, gFW
 
@@ -1684,7 +1690,7 @@ def _pmfg_bwd(P, ks, rc, res, cots):
                     2 * qcol.size * 4):
         dx, dmu, dR, gFW = _msg_fm_bwd_geores_call(
             x, mu, geo, FW_aug, cw, qcol, dcol, cots, P, ks, rc,
-            _cb.PIECES)
+            _cb.PIECES, wgrad=_cb.WGRAD)
     else:
         # non-resident fallback: unfused message bwd + geometry bwd
         from .colblock_geo import _geo_bwd_call
@@ -1877,7 +1883,7 @@ def _pmffu_bwd(P, ks, rc, res, cots):
                     2 * qcol.size * 4):
         dx, dmu, dR, gFW = _msg_fm_bwd_fused_call(
             x, mu, R, FW_aug, coff_fm, cw, qcol, dcol, cots, P, ks, rc,
-            _cb.PIECES)
+            _cb.PIECES, wgrad=_cb.WGRAD)
     else:
         from .colblock_geo import _geo_bwd_call, _geo_fwd_call
 

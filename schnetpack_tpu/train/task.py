@@ -258,6 +258,12 @@ class AtomisticTask:
 
     # public API --------------------------------------------------------
     def train_step(self, state, batch) -> Tuple[TrainState, Dict]:
+        # training needs filter-weight cotangents from the column message
+        # kernels even if an MD calculator disabled them earlier in this
+        # process (the flag is read at trace time, see ops/cellblock.py)
+        from ..ops import cellblock as _cb
+
+        _cb.WGRAD = True
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         return self._train_step(state, batch)
 

@@ -19,6 +19,17 @@ import numpy as np
 import pytest
 
 from schnetpack_tpu import properties
+
+
+@pytest.fixture(autouse=True)
+def _reset_kernel_wgrad():
+    """MD calculators flip the process-global WGRAD off (they only need
+    position gradients); tests that jit param-grads through the column
+    kernels must not inherit that from an earlier test."""
+    from schnetpack_tpu.ops import cellblock as _cb
+
+    _cb.WGRAD = True
+    yield
 from schnetpack_tpu.data.loader import PaddingSpec, collate
 from schnetpack_tpu.transform.neighborlist import NeighborListTransform
 

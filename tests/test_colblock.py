@@ -552,6 +552,63 @@ class TestFusedGeometryBackward:
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces
 
+    def test_wgrad_skip_md_mode(self):
+        """With cellblock.WGRAD=False (MD calculators) the geo-resident
+        backward must return identical x/mu/R cotangents and a zero FW
+        cotangent — the gFW accumulation is the only thing skipped."""
+        from schnetpack_tpu.ops import colblock_geo as cg
+        from schnetpack_tpu.ops.colblock import (
+            painn_message_columns_fm_geores,
+        )
+        from schnetpack_tpu.ops.radial import gaussian_rbf_params
+
+        old = cb.IMPL, cb.PIECES, cb.WGRAD
+        cb.IMPL, cb.PIECES = "pallas_interpret", 3
+        try:
+            rng = np.random.RandomState(3)
+            R = rng.uniform(0, 10.0, (90, 3))
+            cell = np.eye(3) * 10.0
+            cutoff = 3.0
+            lay = build_column_layout(R, 3.4, cell, np.ones(3, bool))
+            refs = ColRefs.from_layout(lay)
+            Ap = len(lay.order)
+            Rs = jnp.asarray(R[lay.order], jnp.float32) * jnp.asarray(
+                lay.slot_mask)[:, None]
+            coff_fm = jnp.asarray(
+                np.moveaxis(lay.offcol, -1, 2), jnp.float32)
+            centers, widths = gaussian_rbf_params(12, cutoff, 0.0)
+            cw = jnp.stack([
+                jnp.asarray(centers, jnp.float32),
+                -0.5 / jnp.square(jnp.asarray(widths, jnp.float32)),
+            ], axis=1)
+            F = 32
+            x0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            mu0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            FW = jnp.asarray(rng.randn(13, 3 * F) * 0.3, jnp.float32)
+
+            def loss(args):
+                x, mu, Rv, fw = args
+                geo = jax.lax.stop_gradient(cg.column_geometry(
+                    Rv, coff_fm, refs, centers, widths, cutoff,
+                    with_d=True))
+                dq, dmu = painn_message_columns_fm_geores(
+                    x, mu, Rv, geo, fw, coff_fm, cw, refs, cutoff)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
+            args = (x0, mu0, Rs, FW)
+            cb.WGRAD = True
+            v1, g1 = jax.value_and_grad(loss)(args)
+            cb.WGRAD = False
+            v2, g2 = jax.value_and_grad(loss)(args)
+            np.testing.assert_allclose(v1, v2, rtol=1e-6)
+            for n, a, b in zip(["x", "mu", "R"], g1, g2):
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-5, atol=1e-6, err_msg=f"grad {n}")
+            assert np.all(np.asarray(g2[3]) == 0.0), "gFW must be zero"
+            assert np.any(np.asarray(g1[3]) != 0.0)
+        finally:
+            cb.IMPL, cb.PIECES, cb.WGRAD = old
+
     def test_full_fused_bf16_pieces(self):
         """The production bf16 (PIECES=1) and mixed (PIECES=2) feature
         modes must track the exact-f32 full-fused path within their

@@ -54,6 +54,8 @@ class PairSchnetpackTPU : public Pair {
   double init_one(int, int) override;
 
  protected:
+  void allocate();
+
   double cutoff_;
   spk_tpu::ModelClient *client_;
   std::vector<int32_t> type_to_z_;
@@ -79,6 +81,7 @@ class PairSchnetpackTPU : public Pair {
 #include "force.h"
 #include "memory.h"
 #include "neigh_list.h"
+#include "neigh_request.h"
 #include "neighbor.h"
 
 #include <cstring>
@@ -94,7 +97,22 @@ PairSchnetpackTPU::PairSchnetpackTPU(LAMMPS *lmp)
   no_virial_fdotr_compute = 1;  // the server returns the exact virial
 }
 
-PairSchnetpackTPU::~PairSchnetpackTPU() { delete client_; }
+PairSchnetpackTPU::~PairSchnetpackTPU() {
+  delete client_;
+  if (allocated) {
+    memory->destroy(setflag);
+    memory->destroy(cutsq);
+  }
+}
+
+void PairSchnetpackTPU::allocate() {
+  allocated = 1;
+  const int n = atom->ntypes + 1;
+  memory->create(setflag, n, n, "pair:setflag");
+  for (int i = 1; i < n; i++)
+    for (int j = i; j < n; j++) setflag[i][j] = 0;
+  memory->create(cutsq, n, n, "pair:cutsq");
+}
 
 void PairSchnetpackTPU::settings(int narg, char **arg) {
   if (narg != 2)
@@ -132,7 +150,7 @@ void PairSchnetpackTPU::init_style() {
                "rank (like the reference pair style); run in serial");
   if (type_to_z_.empty())
     error->all(FLERR, "pair schnetpack_tpu requires a pair_coeff type map");
-  neighbor->add_request(this, NeighRequest::FULL);
+  neighbor->add_request(this, NeighConst::REQ_FULL);
   if (!client_->connect_server())
     error->all(FLERR, "cannot connect to schnetpack_tpu model server");
 }

@@ -106,7 +106,9 @@ def main(n_train=900, n_val=100, epochs=400, seed=0, student="painn",
         R0 = np.array([[float(x) for x in l.split()[1:4]] for l in lines[2:2 + na]])
 
     nlt = NeighborListTransform(info["cutoff"])
-    pad = PaddingSpec(n_atoms=na + 3, n_pairs=128, n_molecules=2)
+    # worst-case pair count for one molecule: all-to-all within cutoff
+    pmax = na * (na - 1) + 8
+    pad = PaddingSpec(n_atoms=na + 3, n_pairs=max(128, pmax), n_molecules=2)
 
     @jax.jit
     def teacher(batch):
@@ -214,10 +216,10 @@ def main(n_train=900, n_val=100, epochs=400, seed=0, student="painn",
 
     train_loader = AtomsLoader(DS(samples[:n_train]), batch_size=32,
                                shuffle=True, padding=PaddingSpec(
-                                   32 * (na + 1), 32 * 80, 33))
+                                   32 * (na + 1), 32 * pmax, 33))
     val_loader = AtomsLoader(DS(samples[n_train:]), batch_size=32,
                              shuffle=False, padding=PaddingSpec(
-                                 32 * (na + 1), 32 * 80, 33))
+                                 32 * (na + 1), 32 * pmax, 33))
 
     # ---- student: fresh net, reference md17 recipe --------------------
     if student == "schnet":

@@ -36,9 +36,13 @@ class PairwiseDistances(nn.Module):
             P = R.shape[0] // (qc.shape[0] * qc.shape[1])
             shard = None
             if properties.cell_shard in inputs:
-                from ..ops.colblock_shard import COLS_AXIS
+                from ..ops.colblock_shard import COLS_AXIS, COLS_AXIS_Y
 
-                shard = COLS_AXIS
+                shard = (
+                    (COLS_AXIS, COLS_AXIS_Y)
+                    if inputs[properties.cell_shard].shape[0] >= 2
+                    else COLS_AXIS
+                )
             refs = ColRefs(qc, inputs[properties.cell_dcol], P, ksizes,
                            shard)
             Rj = column_gather(R, refs)

@@ -167,9 +167,20 @@ class NeuralNetworkPotential:
                 # device seeds its own grad under manual mode, so the psum
                 # is normalised by the axis size (the n seeds then sum to
                 # exactly one global cotangent).
-                from ..ops.colblock_shard import COLS_AXIS
+                from ..ops.colblock_shard import COLS_AXIS, COLS_AXIS_Y
 
-                E = jax.lax.psum(E, COLS_AXIS) / jax.lax.axis_size(COLS_AXIS)
+                # the cell_shard marker's length says which mesh axes the
+                # columns are decomposed over: 1 -> x slabs, 2 -> (x, y)
+                # blocks (parallel/columns.py)
+                axes = (
+                    (COLS_AXIS, COLS_AXIS_Y)
+                    if inputs[properties.cell_shard].shape[0] >= 2
+                    else (COLS_AXIS,)
+                )
+                n_sh = 1
+                for ax in axes:
+                    n_sh = n_sh * jax.lax.axis_size(ax)
+                E = jax.lax.psum(E, axes) / n_sh
             return E, out
 
         props = set()

@@ -153,14 +153,26 @@ def _posT_pieces(R, nx, ny, P):
 
 
 def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
-                  with_d=False):
+                  with_d=False, packed=False):
     nx, ny, Ktot = qcol.shape
     B = cw.shape[0]
     nch = B + 5 if with_d else B + 4
     pieces = _posT_pieces(R, nx, ny, P)
-    return pl.pallas_call(
+    if packed:
+        out_specs = (pl.BlockSpec((1, 1, nch, Ktot),
+                                  lambda i, j: (i, j, 0, 0)),)
+        out_shape = (jax.ShapeDtypeStruct((nx, ny, nch, Ktot), R.dtype),)
+    else:
+        out_specs = tuple(
+            pl.BlockSpec((1, 1, nch, k), lambda i, j: (i, j, 0, 0))
+            for k in ks
+        )
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((nx, ny, nch, k), R.dtype) for k in ks
+        )
+    out = pl.pallas_call(
         functools.partial(_geo_fwd_kernel, P=P, B=B, ks=ks, rc=rc,
-                          raw_phi=raw_phi, with_d=with_d),
+                          raw_phi=raw_phi, with_d=with_d, packed=packed),
         grid=(nx, ny),
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
@@ -168,17 +180,13 @@ def _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
             pl.BlockSpec((1, 1, 3, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
         ] + _posT_specs(nx, ny, P) + _own_specs(nx, ny, P),
-        out_specs=tuple(
-            pl.BlockSpec((1, 1, nch, k), lambda i, j: (i, j, 0, 0))
-            for k in ks
-        ),
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((nx, ny, nch, k), R.dtype) for k in ks
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], coff_fm, cw,
       *[p for p in pieces for _ in range(9)], *pieces)
+    return out[0] if packed else out
 
 
 def _bucket_pieces(args, c9):
@@ -192,7 +200,7 @@ def _bucket_pieces(args, c9):
 
 
 def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
-                    raw_phi, with_d=False):
+                    raw_phi, with_d=False, packed=False):
     pos_args = args[: POS_PIECES * 9 + POS_PIECES]
     out_refs = args[POS_PIECES * 9 + POS_PIECES:]
     offs = _koffs(ks)
@@ -202,15 +210,20 @@ def _geo_fwd_kernel(q_ref, d_ref, coff_ref, cw_ref, *args, P, B, ks, rc,
         (_, _, emaskT, _, d, _, dirsT, fcutT, phi, _, _) = _recompute_geo(
             q_ref, d_ref, coff, cw_ref, _bucket_pieces(pos_args, c9),
             o0, k, P, rc)
-        out_refs[c9][0, 0, 0:B] = (
+        # packed mode: one [nch, Ktot] block per cell, buckets written at
+        # their static edge offsets (one operand instead of nine at every
+        # consumer -> no per-bucket staging copies at the pallas calls)
+        ref = out_refs[0] if packed else out_refs[c9]
+        e0 = o0 if packed else 0
+        ref[0, 0, 0:B, e0:e0 + k] = (
             phi * emaskT if raw_phi else phi * fcutT
         )
-        out_refs[c9][0, 0, B:B + 1] = fcutT
-        out_refs[c9][0, 0, B + 1:B + 4] = dirsT
+        ref[0, 0, B:B + 1, e0:e0 + k] = fcutT
+        ref[0, 0, B + 1:B + 4, e0:e0 + k] = dirsT
         if with_d:
             # distance channel for the geo-resident message backward
             # (masked edges carry the safe d == 1 placeholder)
-            out_refs[c9][0, 0, B + 4:B + 5] = d
+            ref[0, 0, B + 4:B + 5, e0:e0 + k] = d
 
 
 # ------------------------------------------------------------------ bwd
@@ -293,24 +306,25 @@ def _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi):
 
 
 # ------------------------------------------------------- public op + VJP
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
 def _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
-                       with_d=False):
+                       with_d=False, packed=False):
     return _geo_fwd_call(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
-                         with_d)
+                         with_d, packed)
 
 
-def _cgeo_fwd(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi, with_d=False):
+def _cgeo_fwd(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi, with_d=False,
+              packed=False):
     out = _column_geometry_p(R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi,
-                             with_d)
+                             with_d, packed)
     return out, (R, coff_fm, qcol, dcol, cw)
 
 
-def _cgeo_bwd(P, ks, rc, raw_phi, with_d, res, g):
-    if with_d:
+def _cgeo_bwd(P, ks, rc, raw_phi, with_d, packed, res, g):
+    if with_d or packed:
         raise NotImplementedError(
-            "with_d geo is for the geo-resident message backward; pass it "
-            "through jax.lax.stop_gradient"
+            "with_d/packed geo is for the geo-resident message backward; "
+            "pass it through jax.lax.stop_gradient"
         )
     R, coff_fm, qcol, dcol, cw = res
     dR = _geo_bwd_call(g, R, coff_fm, qcol, dcol, cw, P, ks, rc, raw_phi)
@@ -352,6 +366,28 @@ def column_geometry(R, coff_fm, refs, centers, widths, cutoff,
     return _column_geometry_p(R, coff_fm, refs.qcol, refs.dcol, cw,
                               refs.P, refs.ksizes, float(cutoff),
                               bool(raw_phi), bool(with_d))
+
+
+def column_geometry_packed(R, coff_fm, refs, centers, widths, cutoff,
+                           raw_phi=False, with_d=False):
+    """Like :func:`column_geometry` but returns ONE packed tensor
+    [nx, ny, nch, Ktot] (buckets at their static edge offsets).
+
+    For the geo-resident / fully-fused message paths only: the caller
+    must wrap the result in ``jax.lax.stop_gradient`` (the message
+    backward emits position cotangents itself), so no VJP is defined.
+    Pallas impls only; the XLA fallback packs the per-bucket tensors.
+    """
+    if not _cb._impl().startswith("pallas"):
+        return concat_geo(column_geometry_xla(
+            R, coff_fm, refs, centers, widths, cutoff, raw_phi, with_d))
+    cw = jnp.stack([
+        jnp.asarray(centers, R.dtype),
+        -0.5 / jnp.square(jnp.asarray(widths, R.dtype)),
+    ], axis=1)
+    return _column_geometry_p(R, coff_fm, refs.qcol, refs.dcol, cw, refs.P,
+                              refs.ksizes, float(cutoff), bool(raw_phi),
+                              bool(with_d), True)
 
 
 def column_geometry_xla(R, coff_fm, refs, centers, widths, cutoff,

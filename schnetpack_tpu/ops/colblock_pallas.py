@@ -566,11 +566,12 @@ def _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec):
 
 
 def _msg_fm_fwd_kernel(q_ref, d_ref, FW_ref, *args,
-                       P, F, B1, ks, pieces):
-    geo_refs = args[:9]
-    xcols = args[9:9 + 9 * pieces]
-    mucols = args[9 + 9 * pieces:9 + 18 * pieces]
-    dq_ref, dmu_ref = args[9 + 18 * pieces:]
+                       P, F, B1, ks, pieces, gpk=False):
+    ngeo = 1 if gpk else 9
+    geo_refs = args[:ngeo]
+    xcols = args[ngeo:ngeo + 9 * pieces]
+    mucols = args[ngeo + 9 * pieces:ngeo + 18 * pieces]
+    dq_ref, dmu_ref = args[ngeo + 18 * pieces:]
     offs = _koffs(ks)
     acc = None
     wprec = _w_precision(pieces)
@@ -579,7 +580,8 @@ def _msg_fm_fwd_kernel(q_ref, d_ref, FW_ref, *args,
         ohj = _oh(q_ref, o0, k, P)
         xj = _gather_bucket(xcols, ohj, c9, pieces)    # [k, 3F]
         mu_j = _gather_bucket(mucols, ohj, c9, pieces)  # [k, 3F]
-        geo = geo_refs[c9][0, 0].T                     # [k, B1+3]
+        geo = (geo_refs[0][0, 0, :, o0:o0 + k] if gpk
+               else geo_refs[c9][0, 0]).T              # [k, B1+3(+1)]
         rbf = geo[:, :B1]
         dirs = geo[:, B1:B1 + 3]
         msg = _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec)
@@ -595,13 +597,14 @@ def _msg_fm_fwd_kernel(q_ref, d_ref, FW_ref, *args,
 
 
 def _msg_fm_fwd_res_kernel(q_ref, d_ref, FW_ref, *args,
-                           nx, ny, P, F, B1, ks, pieces):
+                           nx, ny, P, F, B1, ks, pieces, gpk=False):
     """Resident-table forward: the whole (bf16-piece) feature table sits
     in VMEM; each grid step slices its 9 source columns from it."""
-    geo_refs = args[:9]
-    xcols = args[9:9 + pieces]                         # [nx, ny, P, 3F]
-    mucols = args[9 + pieces:9 + 2 * pieces]           # [nx, ny, P, 3F]
-    dq_ref, dmu_ref = args[9 + 2 * pieces:]
+    ngeo = 1 if gpk else 9
+    geo_refs = args[:ngeo]
+    xcols = args[ngeo:ngeo + pieces]                   # [nx, ny, P, 3F]
+    mucols = args[ngeo + pieces:ngeo + 2 * pieces]     # [nx, ny, P, 3F]
+    dq_ref, dmu_ref = args[ngeo + 2 * pieces:]
     offs = _koffs(ks)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -625,7 +628,8 @@ def _msg_fm_fwd_res_kernel(q_ref, d_ref, FW_ref, *args,
         ohj = _oh(q_ref, o0, k, P)
         xj = _sel(xcols, ohj, xi, yj)
         mu_j = _sel(mucols, ohj, xi, yj)
-        geo = geo_refs[c9][0, 0].T                     # [k, B1+3]
+        geo = (geo_refs[0][0, 0, :, o0:o0 + k] if gpk
+               else geo_refs[c9][0, 0]).T              # [k, B1+3(+1)]
         rbf = geo[:, :B1]
         dirs = geo[:, B1:B1 + 3]
         msg = _msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec)
@@ -652,18 +656,25 @@ def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     A, D3 = x.shape
     F = D3 // 3
     B1 = FW_aug.shape[0]
+    gpk = not isinstance(geo, (tuple, list))
+    if gpk:
+        geo_specs = [pl.BlockSpec((1, 1, geo.shape[2], Ktot),
+                                  lambda i, j: (i, j, 0, 0))]
+        geo = (geo,)
+    else:
+        geo_specs = _geo_specs(ks, B1)
     if _resident_ok(A * D3 * 4 * pieces):
         xt = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
         mt = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
         dq, dmu = pl.pallas_call(
             functools.partial(_msg_fm_fwd_res_kernel, nx=nx, ny=ny, P=P,
-                              F=F, B1=B1, ks=ks, pieces=pieces),
+                              F=F, B1=B1, ks=ks, pieces=pieces, gpk=gpk),
             grid=(nx, ny),
             in_specs=[
                 pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
                 pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-            ] + _geo_specs(ks, B1) + [
+            ] + geo_specs + [
                 pl.BlockSpec((nx, ny, P, D3), lambda i, j: (0, 0, 0, 0))
                 for _ in range(2 * pieces)
             ],
@@ -683,13 +694,13 @@ def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces):
     mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
     dq, dmu = pl.pallas_call(
         functools.partial(_msg_fm_fwd_kernel, P=P, F=F, B1=B1, ks=ks,
-                          pieces=pieces),
+                          pieces=pieces, gpk=gpk),
         grid=(nx, ny),
         in_specs=[
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((1, 1, 1, Ktot), lambda i, j: (i, j, 0, 0)),
             pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
-        ] + _geo_specs(ks, B1) + _col_view_specs(nx, ny, P, D3, pieces)
+        ] + geo_specs + _col_view_specs(nx, ny, P, D3, pieces)
         + _col_view_specs(nx, ny, P, D3, pieces),
         out_specs=(
             pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
@@ -1445,11 +1456,12 @@ def painn_message_columns_fm_fused_pallas(x, mu, R, geo, FW_aug, coff_fm,
 
 def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
                               cw_ref, *args, nx, ny, P, F, B, ks, rc,
-                              pieces, wgrad=True):
-    geos = args[:9]                            # [B1+3, k_c9] dest blocks
-    xcols = args[9:9 + pieces]                 # own x column views
-    mucols = args[9 + pieces:9 + 2 * pieces]   # own mu column views
-    outs = args[9 + 2 * pieces:]
+                              pieces, wgrad=True, gpk=False):
+    ngeo = 1 if gpk else 9
+    geos = args[:ngeo]                         # dest-cell geo blocks
+    xcols = args[ngeo:ngeo + pieces]           # own x column views
+    mucols = args[ngeo + pieces:ngeo + 2 * pieces]  # own mu column views
+    outs = args[ngeo + 2 * pieces:]
     dx_ref = outs[0]
     dmu_ref = outs[1]
     gRo_ref = outs[2]
@@ -1486,7 +1498,11 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
         dv = d_ref[xi, yj, 0, o0:o0 + k]
         ohj = _oh_vec(qv, P)
         ohd = _oh_vec(dv, P)
-        geoT = geos[c9][0, 0].T                            # [k, B1+4]
+        # packed mode: the WHOLE geo tensor is VMEM-resident; slice the
+        # destination cell's bucket (dynamic cell, static edge range)
+        geo_blk = (geos[0][xi, yj, :, o0:o0 + k] if gpk
+                   else geos[c9][0, 0])                    # [B1+4, k]
+        geoT = geo_blk.T                                   # [k, B1+4]
         rbf = geoT[:, :B + 1]
         dirs = geoT[:, B + 1:B + 4]
         # recompute forward intermediates (sources are in MY column)
@@ -1550,7 +1566,7 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
         # CHANNEL-MAJOR ([ch, k], packed edge axis on lanes): [k, B]- or
         # [k, 1]-shaped VPU ops would use B/128 or 1/128 lanes (the
         # measured 2.5x trap of the first geometry-kernel version).
-        geo_cm = geos[c9][0, 0]                            # [B1+4, k]
+        geo_cm = geo_blk                                   # [B1+4, k]
         rbf_cm = geo_cm[:B]                                # phi*fcut
         fcutT = geo_cm[B:B + 1]                            # [1, k]
         dirsT = geo_cm[B + 1:B + 4]                        # [3, k]
@@ -1605,6 +1621,7 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
     F = D3 // 3
     B = cw.shape[0]
     B1 = B + 1
+    gpk = not isinstance(geo, (tuple, list))
     xh = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
     mh = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
     gq5 = g_dq.reshape(nx, ny, P, F)
@@ -1612,6 +1629,12 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
 
     def resident(shape4):
         return pl.BlockSpec(shape4, lambda i, j: (0, 0, 0, 0))
+
+    if gpk:
+        geo_specs = [resident((nx, ny, geo.shape[2], Ktot))]
+        geo = (geo,)
+    else:
+        geo_specs = _dest_geo_specs(nx, ny, ks, B1 + 1)
 
     gRd_specs = [
         pl.BlockSpec(
@@ -1626,7 +1649,7 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
     outs = pl.pallas_call(
         functools.partial(_msg_fm_bwd_geores_kernel, nx=nx, ny=ny, P=P,
                           F=F, B=B, ks=ks, rc=rc, pieces=pieces,
-                          wgrad=wgrad),
+                          wgrad=wgrad, gpk=gpk),
         grid=(nx, ny),
         in_specs=[
             resident((nx, ny, 1, Ktot)),           # qcol
@@ -1636,8 +1659,8 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
             resident((nx, ny, P, 3 * F)),          # g_dmu
             pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
             # geo blocks carry B1+4 channels (with_d layout: the extra
-            # distance channel) — hence the B1+1 block-size argument
-        ] + _dest_geo_specs(nx, ny, ks, B1 + 1) + [
+            # distance channel)
+        ] + geo_specs + [
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
             for _ in range(2 * pieces)
         ],
@@ -1686,17 +1709,22 @@ def _pmfg_fwd(x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, P, ks, rc):
 
 def _pmfg_bwd(P, ks, rc, res, cots):
     x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol = res
+    gbytes = (geo.size * geo.dtype.itemsize
+              if not isinstance(geo, (tuple, list))
+              else sum(g.size * g.dtype.itemsize for g in geo))
     if _resident_ok(x.shape[0] * 4 * (x.shape[1] // 3) * 4,
-                    2 * qcol.size * 4):
+                    2 * qcol.size * 4, gbytes):
         dx, dmu, dR, gFW = _msg_fm_bwd_geores_call(
             x, mu, geo, FW_aug, cw, qcol, dcol, cots, P, ks, rc,
             _cb.PIECES, wgrad=_cb.WGRAD)
     else:
         # non-resident fallback: unfused message bwd + geometry bwd
-        from .colblock_geo import _geo_bwd_call
+        from .colblock_geo import _geo_bwd_call, split_geo
 
+        geo_t = (split_geo(geo, ks)
+                 if not isinstance(geo, (tuple, list)) else geo)
         dx, dmu, ggeo, gFW = _msg_fm_bwd_call(
-            x, mu, geo, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
+            x, mu, geo_t, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES)
         dR = _geo_bwd_call(ggeo, R, coff_fm, qcol, dcol, cw, P, ks, rc,
                            False)
     zgeo = jax.tree.map(jnp.zeros_like, geo)

@@ -28,10 +28,16 @@ import jax.numpy as jnp
 from . import cellblock as _cb
 from .cellblock_pallas import _split_f32
 
-#: the shard_map mesh axis name the column ops synchronise over
+#: the shard_map mesh axis name the column ops synchronise over (x slabs)
 COLS_AXIS = "cols"
+#: second mesh axis for 2-D (x, y) block decomposition
+COLS_AXIS_Y = "cols_y"
 
 HI = jax.lax.Precision.HIGHEST
+
+
+def _is_2d(axes) -> bool:
+    return isinstance(axes, (tuple, list)) and len(axes) == 2
 
 
 def halo_x(cols: jax.Array, axis) -> jax.Array:
@@ -48,8 +54,31 @@ def halo_x(cols: jax.Array, axis) -> jax.Array:
     return jnp.concatenate([left, cols, right], axis=0)
 
 
-def _decode_hx(qcol, ksizes, ny, P):
-    """Edge -> row index into the x-halo'd flattened table (+ mask)."""
+def halo_xy(cols: jax.Array, axes):
+    """Halo exchange for 1-D or 2-D block decompositions.
+
+    ``axes`` is either a single mesh-axis name (x slabs; y stays local and
+    periodic-wraps in the kernels) or an ``(x_axis, y_axis)`` pair.  For
+    2-D blocks the y boundary planes are exchanged FIRST, then the x
+    exchange ships the y-extended planes — so the four corner columns
+    arrive with no extra collective.  Returns ``(halo'd cols, hy)`` where
+    ``hy`` says whether the y axis carries halos (and the consumers must
+    index it halo'd instead of wrapping mod ny).
+    """
+    if _is_2d(axes):
+        x_axis, y_axis = axes
+        size = jax.lax.axis_size(y_axis)
+        fwd = [(i, (i + 1) % size) for i in range(size)]
+        bwd = [(i, (i - 1) % size) for i in range(size)]
+        up = jax.lax.ppermute(cols[:, -1:], y_axis, fwd)
+        down = jax.lax.ppermute(cols[:, :1], y_axis, bwd)
+        cols = jnp.concatenate([up, cols, down], axis=1)
+        return halo_x(cols, x_axis), True
+    return halo_x(cols, axes), False
+
+
+def _decode_hx(qcol, ksizes, ny, P, hy=False):
+    """Edge -> row index into the (x[, y])-halo'd flattened table (+ mask)."""
     import numpy as np
 
     nx_loc, ny_, Ktot = qcol.shape
@@ -61,20 +90,45 @@ def _decode_hx(qcol, ksizes, ny, P):
     dx = c9 // 3 - 1
     dy = c9 % 3 - 1
     xs = x + dx + 1                       # into the halo'd x axis, no wrap
-    ys = jnp.mod(y + dy, ny)
-    j = (xs * ny + ys) * P + q
+    if hy:
+        ys = y + dy + 1                   # into the halo'd y axis, no wrap
+        j = (xs * (ny + 2) + ys) * P + q
+    else:
+        ys = jnp.mod(y + dy, ny)
+        j = (xs * ny + ys) * P + q
     return j, valid
 
 
-def _gather_hx_xla(table_h, qcol, ksizes, P):
-    nx2, ny, P_, D = table_h.shape
-    j, valid = _decode_hx(qcol, ksizes, ny, P)
+def _gather_hx_xla(table_h, qcol, ksizes, P, hy=False):
+    D = table_h.shape[-1]
+    ny = qcol.shape[1]
+    j, valid = _decode_hx(qcol, ksizes, ny, P, hy)
     out = jnp.take(table_h.reshape(-1, D), j, axis=0)
     return out * valid[..., None].astype(table_h.dtype)
 
 
 # ------------------------------------------------- pallas halo'd kernels
-def _gather_hx_call(table_h, qcol, P, ks, pieces, interpret):
+def _src_specs_h(P, D, pieces, ny, hy):
+    """Source-column BlockSpecs into the halo'd table: x is always halo'd
+    (+1 shift, no wrap); y either periodic-wraps locally (1-D slabs) or is
+    halo'd too (2-D blocks)."""
+    import jax.experimental.pallas as pl
+
+    if hy:
+        def idx(i, j, di, dj):
+            return (i + di + 1, j + dj + 1, 0, 0)
+    else:
+        def idx(i, j, di, dj):
+            return (i + di + 1, (j + dj) % ny, 0, 0)
+    return [
+        pl.BlockSpec((1, 1, P, D), functools.partial(idx, di=di, dj=dj))
+        for _ in range(pieces)
+        for di in (-1, 0, 1)
+        for dj in (-1, 0, 1)
+    ]
+
+
+def _gather_hx_call(table_h, qcol, P, ks, pieces, interpret, hy=False):
     import jax.experimental.pallas as pl
 
     from .colblock_pallas import (
@@ -84,18 +138,7 @@ def _gather_hx_call(table_h, qcol, P, ks, pieces, interpret):
     nx_loc, ny, Ktot = qcol.shape
     D = table_h.shape[-1]
     halos = _split_f32(table_h, pieces)
-    specs = [
-        pl.BlockSpec(
-            (1, 1, P, D),
-            functools.partial(
-                lambda i, j, di, dj: (i + di + 1, (j + dj) % ny, 0, 0),
-                di=di, dj=dj,
-            ),
-        )
-        for _ in range(pieces)
-        for di in (-1, 0, 1)
-        for dj in (-1, 0, 1)
-    ]
+    specs = _src_specs_h(P, D, pieces, ny, hy)
     return pl.pallas_call(
         functools.partial(_gather_fwd_kernel, P=P, ks=ks, pieces=pieces),
         grid=(nx_loc, ny),
@@ -108,7 +151,7 @@ def _gather_hx_call(table_h, qcol, P, ks, pieces, interpret):
     )(qcol[:, :, None, :], *[h for h in halos for _ in range(9)])
 
 
-def _gather_hx_bwd_call(g, qcol, P, ks, pieces, interpret):
+def _gather_hx_bwd_call(g, qcol, P, ks, pieces, interpret, hy=False):
     import jax.experimental.pallas as pl
 
     from .colblock_pallas import _gather_bwd_kernel, _vmem_params
@@ -133,12 +176,20 @@ def _gather_hx_bwd_call(g, qcol, P, ks, pieces, interpret):
         compiler_params=_vmem_params(),
         interpret=interpret,
     )(qcol[:, :, None, :], g)
-    return _fold_partials_hx(partials, nx_loc, ny, P, D)
+    return _fold_partials_hx(partials, nx_loc, ny, P, D, hy)
 
 
-def _fold_partials_hx(partials, nx_loc, ny, P, D):
-    """Fold per-source-column partials into the x-halo'd cotangent."""
+def _fold_partials_hx(partials, nx_loc, ny, P, D, hy=False):
+    """Fold per-source-column partials into the (x[, y])-halo'd cotangent."""
     idx = 0
+    if hy:
+        dT = jnp.zeros((nx_loc + 2, ny + 2, P, D), partials[0].dtype)
+        for di in (-1, 0, 1):
+            for dj in (-1, 0, 1):
+                dT = dT.at[1 + di:1 + di + nx_loc,
+                           1 + dj:1 + dj + ny].add(partials[idx])
+                idx += 1
+        return dT
     dT = jnp.zeros((nx_loc + 2, ny, P, D), partials[0].dtype)
     for di in (-1, 0, 1):
         for dj in (-1, 0, 1):
@@ -148,20 +199,20 @@ def _fold_partials_hx(partials, nx_loc, ny, P, D):
     return dT
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _gather_hx_p(table_h, qcol, P, ks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _gather_hx_p(table_h, qcol, P, ks, hy=False):
     return _gather_hx_call(table_h, qcol, P, ks, _cb.PIECES,
-                           _cb._impl() == "pallas_interpret")
+                           _cb._impl() == "pallas_interpret", hy)
 
 
-def _ghx_fwd(table_h, qcol, P, ks):
-    return _gather_hx_p(table_h, qcol, P, ks), (table_h.shape, qcol)
+def _ghx_fwd(table_h, qcol, P, ks, hy=False):
+    return _gather_hx_p(table_h, qcol, P, ks, hy), (table_h.shape, qcol)
 
 
-def _ghx_bwd(P, ks, res, g):
+def _ghx_bwd(P, ks, hy, res, g):
     th_shape, qcol = res
     dT = _gather_hx_bwd_call(g, qcol, P, ks, _cb.PIECES,
-                             _cb._impl() == "pallas_interpret")
+                             _cb._impl() == "pallas_interpret", hy)
     return dT.reshape(th_shape), None
 
 
@@ -174,10 +225,10 @@ def column_gather_sharded(table, refs):
     nx_loc, ny, Ktot = refs.qcol.shape
     P = refs.P
     D = table.shape[-1]
-    table_h = halo_x(table.reshape(nx_loc, ny, P, D), refs.shard_axis)
+    table_h, hy = halo_xy(table.reshape(nx_loc, ny, P, D), refs.shard_axis)
     if _cb._impl().startswith("pallas"):
-        return _gather_hx_p(table_h, refs.qcol, P, refs.ksizes)
-    return _gather_hx_xla(table_h, refs.qcol, refs.ksizes, P)
+        return _gather_hx_p(table_h, refs.qcol, P, refs.ksizes, hy)
+    return _gather_hx_xla(table_h, refs.qcol, refs.ksizes, P, hy)
 
 
 def painn_message_columns_sharded(xmu, rbf_aug, dir_e, FW_aug, refs):
@@ -185,20 +236,20 @@ def painn_message_columns_sharded(xmu, rbf_aug, dir_e, FW_aug, refs):
     nx_loc, ny, Ktot = refs.qcol.shape
     P = refs.P
     A, D6 = xmu.shape
-    xmu_h = halo_x(xmu.reshape(nx_loc, ny, P, D6), refs.shard_axis)
+    xmu_h, hy = halo_xy(xmu.reshape(nx_loc, ny, P, D6), refs.shard_axis)
     if _cb._impl().startswith("pallas"):
         return _msg_hx_p(xmu_h, rbf_aug, dir_e, FW_aug,
-                         refs.qcol, refs.dcol, P, refs.ksizes)
-    return _msg_hx_xla(xmu_h, rbf_aug, dir_e, FW_aug, refs)
+                         refs.qcol, refs.dcol, P, refs.ksizes, hy)
+    return _msg_hx_xla(xmu_h, rbf_aug, dir_e, FW_aug, refs, hy)
 
 
-def _msg_hx_xla(xmu_h, rbf_aug, dir_e, FW_aug, refs):
+def _msg_hx_xla(xmu_h, rbf_aug, dir_e, FW_aug, refs, hy=False):
     from .colblock import _column_fold_xla
 
     nx_loc, ny, Ktot = refs.qcol.shape
     P = refs.P
     F = xmu_h.shape[-1] // 6
-    gathered = _gather_hx_xla(xmu_h, refs.qcol, refs.ksizes, P)
+    gathered = _gather_hx_xla(xmu_h, refs.qcol, refs.ksizes, P, hy)
     xj = gathered[..., : 3 * F]
     muj = gathered[..., 3 * F:]
     W = jnp.einsum("...b,bf->...f", rbf_aug, FW_aug, precision=HI)
@@ -216,7 +267,7 @@ def _msg_hx_xla(xmu_h, rbf_aug, dir_e, FW_aug, refs):
 
 
 def _msg_hx_fwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks,
-                     pieces, interpret):
+                     pieces, interpret, hy=False):
     import jax.experimental.pallas as pl
 
     from .colblock_pallas import _msg_fwd_kernel, _vmem_params
@@ -226,18 +277,7 @@ def _msg_hx_fwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks,
     F = D6 // 6
     B1 = rbf_aug.shape[-1]
     halos = _split_f32(xmu_h, pieces)
-    specs = [
-        pl.BlockSpec(
-            (1, 1, P, D6),
-            functools.partial(
-                lambda i, j, di, dj: (i + di + 1, (j + dj) % ny, 0, 0),
-                di=di, dj=dj,
-            ),
-        )
-        for _ in range(pieces)
-        for di in (-1, 0, 1)
-        for dj in (-1, 0, 1)
-    ]
+    specs = _src_specs_h(P, D6, pieces, ny, hy)
     dq, dmu = pl.pallas_call(
         functools.partial(_msg_fwd_kernel, P=P, F=F, ks=ks, pieces=pieces),
         grid=(nx_loc, ny),
@@ -265,7 +305,7 @@ def _msg_hx_fwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks,
 
 
 def _msg_hx_bwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, cots,
-                     P, ks, pieces, interpret):
+                     P, ks, pieces, interpret, hy=False):
     import jax.experimental.pallas as pl
 
     from .colblock_pallas import _msg_bwd_kernel, _vmem_params
@@ -278,18 +318,7 @@ def _msg_hx_bwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, cots,
     halos = _split_f32(xmu_h, pieces)
     gq5 = g_dq.reshape(nx_loc, ny, P, F)
     gmu5 = g_dmu.reshape(nx_loc, ny, P, 3 * F)
-    specs = [
-        pl.BlockSpec(
-            (1, 1, P, D6),
-            functools.partial(
-                lambda i, j, di, dj: (i + di + 1, (j + dj) % ny, 0, 0),
-                di=di, dj=dj,
-            ),
-        )
-        for _ in range(pieces)
-        for di in (-1, 0, 1)
-        for dj in (-1, 0, 1)
-    ]
+    specs = _src_specs_h(P, D6, pieces, ny, hy)
     outs = pl.pallas_call(
         functools.partial(_msg_bwd_kernel, P=P, F=F, ks=ks, pieces=pieces),
         grid=(nx_loc, ny),
@@ -324,27 +353,27 @@ def _msg_hx_bwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, cots,
       gq5, gmu5, *[h for h in halos for _ in range(9)])
     partials, grbf, gdir, gFW = outs[:9], outs[9], outs[10], outs[11]
     D6 = xmu_h.shape[-1]
-    dxmu_h = _fold_partials_hx(partials, nx_loc, ny, P, D6)
+    dxmu_h = _fold_partials_hx(partials, nx_loc, ny, P, D6, hy)
     return dxmu_h, grbf, gdir, gFW
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _msg_hx_p(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _msg_hx_p(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks, hy=False):
     return _msg_hx_fwd_call(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol,
                             P, ks, _cb.PIECES,
-                            _cb._impl() == "pallas_interpret")
+                            _cb._impl() == "pallas_interpret", hy)
 
 
-def _mhx_fwd(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks):
-    out = _msg_hx_p(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks)
+def _mhx_fwd(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks, hy=False):
+    out = _msg_hx_p(xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, P, ks, hy)
     return out, (xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol)
 
 
-def _mhx_bwd(P, ks, res, cots):
+def _mhx_bwd(P, ks, hy, res, cots):
     xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol = res
     dxmu_h, grbf, gdir, gFW = _msg_hx_bwd_call(
         xmu_h, rbf_aug, dir_e, FW_aug, qcol, dcol, cots, P, ks, _cb.PIECES,
-        _cb._impl() == "pallas_interpret")
+        _cb._impl() == "pallas_interpret", hy)
     return dxmu_h, grbf, gdir, gFW, None, None
 
 

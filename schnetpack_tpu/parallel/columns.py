@@ -28,23 +28,56 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec
 
 from .. import properties as P
-from ..ops.colblock_shard import COLS_AXIS
+from ..ops.colblock_shard import COLS_AXIS, COLS_AXIS_Y
+
+#: keys carrying per-column / per-atom-slot data (sharded in space)
+_ATOM_KEYS = (P.R, P.Z, P.idx_m, P.atom_mask)
+_COL_KEYS = (P.cell_qcol, P.cell_dcol, P.cell_coff, P.cell_emask)
 
 
-def make_column_mesh(n_devices: int) -> Mesh:
-    return Mesh(np.array(jax.devices()[:n_devices]), (COLS_AXIS,))
+def make_column_mesh(n_devices: int, dims=None) -> Mesh:
+    """1-D x-slab mesh, or a 2-D ``dims=(px, py)`` (x, y)-block mesh.
+
+    2-D block decomposition lets meshes larger than nx shard (VERDICT r3
+    #7): nx must be a multiple of px and ny a multiple of py."""
+    if dims is None:
+        return Mesh(np.array(jax.devices()[:n_devices]), (COLS_AXIS,))
+    px, py = dims
+    devs = np.array(jax.devices()[:px * py]).reshape(px, py)
+    return Mesh(devs, (COLS_AXIS, COLS_AXIS_Y))
+
+
+def _mesh_is_2d(mesh: Mesh) -> bool:
+    return COLS_AXIS_Y in mesh.axis_names
 
 
 def column_inputs(lay, R: np.ndarray, Z: np.ndarray, dtype=jnp.float32,
-                  sharded: bool = True) -> Dict[str, jax.Array]:
-    """Model inputs in sorted column space (global arrays, shard-ready)."""
+                  sharded: bool = True, mesh_2d: bool = False
+                  ) -> Dict[str, jax.Array]:
+    """Model inputs in sorted column space (global arrays, shard-ready).
+
+    With ``mesh_2d`` the per-atom arrays come out column-shaped
+    [nx, ny, P, ...] so both leading axes can shard (a flat [A] layout is
+    x-major and cannot block-shard over y); the shard_map body flattens
+    them back to the model's [A_loc] view per device."""
     Ap = len(lay.order)
     order = lay.order
+    nx, ny, _ = lay.qcol.shape
+    Pcap = Ap // (nx * ny)
+    R_s = jnp.asarray(R[order] * (lay.slot_mask[:, None] > 0), dtype)
+    Z_s = jnp.asarray(Z[order] * (lay.slot_mask > 0).astype(np.int64))
+    m_s = jnp.asarray(lay.slot_mask, dtype)
+    i_s = jnp.zeros(Ap, jnp.int32)
+    if mesh_2d:
+        R_s = R_s.reshape(nx, ny, Pcap, 3)
+        Z_s = Z_s.reshape(nx, ny, Pcap)
+        m_s = m_s.reshape(nx, ny, Pcap)
+        i_s = i_s.reshape(nx, ny, Pcap)
     inputs = {
-        P.R: jnp.asarray(R[order] * (lay.slot_mask[:, None] > 0), dtype),
-        P.Z: jnp.asarray(Z[order] * (lay.slot_mask > 0).astype(np.int64)),
-        P.idx_m: jnp.zeros(Ap, jnp.int32),
-        P.atom_mask: jnp.asarray(lay.slot_mask, dtype),
+        P.R: R_s,
+        P.Z: Z_s,
+        P.idx_m: i_s,
+        P.atom_mask: m_s,
         P.n_atoms: jnp.asarray([Ap], jnp.int32),
         P.cell_qcol: jnp.asarray(lay.qcol),
         P.cell_dcol: jnp.asarray(lay.dcol),
@@ -57,21 +90,38 @@ def column_inputs(lay, R: np.ndarray, Z: np.ndarray, dtype=jnp.float32,
         P.pair_mask: jnp.zeros(1, dtype),
     }
     if sharded:
-        inputs[P.cell_shard] = jnp.zeros(1, jnp.int8)
+        inputs[P.cell_shard] = jnp.zeros(2 if mesh_2d else 1, jnp.int8)
     return inputs
 
 
 def column_in_specs(inputs) -> Dict[str, PartitionSpec]:
-    """shard_map in_specs: column/atom arrays slab-sharded along x."""
-    sharded = {P.cell_qcol, P.cell_dcol, P.cell_coff, P.cell_emask,
-               P.R, P.Z, P.idx_m, P.atom_mask}
+    """shard_map in_specs: column/atom arrays slab- or block-sharded."""
+    two_d = (P.cell_shard in inputs
+             and inputs[P.cell_shard].shape[0] >= 2)
+    sharded = set(_ATOM_KEYS) | set(_COL_KEYS)
+    pspec = (PartitionSpec(COLS_AXIS, COLS_AXIS_Y) if two_d
+             else PartitionSpec(COLS_AXIS))
 
     def spec(k, v):
         if isinstance(v, tuple):
             return tuple(PartitionSpec() for _ in v)
-        return PartitionSpec(COLS_AXIS) if k in sharded else PartitionSpec()
+        return pspec if k in sharded else PartitionSpec()
 
     return {k: spec(k, v) for k, v in inputs.items()}
+
+
+def _flatten_atoms(ins: Dict) -> Dict:
+    """Local shard_map view: [nxl, nyl, P, ...] atom arrays -> flat [A_loc]."""
+    if ins[P.R].ndim == 2:
+        return ins
+    out = dict(ins)
+    nxl, nyl, Pcap = ins[P.R].shape[:3]
+    A = nxl * nyl * Pcap
+    out[P.R] = ins[P.R].reshape(A, 3)
+    for k in (P.Z, P.idx_m, P.atom_mask):
+        out[k] = ins[k].reshape(A)
+    out[P.n_atoms] = jnp.asarray([A], jnp.int32)
+    return out
 
 
 def make_sharded_column_eval(pot, params, inputs, mesh: Mesh):

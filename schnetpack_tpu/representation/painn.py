@@ -232,9 +232,13 @@ class PaiNN(nn.Module):
             Pc = inputs[properties.R].shape[0] // (qc.shape[0] * qc.shape[1])
             shard = None
             if properties.cell_shard in inputs:
-                from ..ops.colblock_shard import COLS_AXIS
+                from ..ops.colblock_shard import COLS_AXIS, COLS_AXIS_Y
 
-                shard = COLS_AXIS
+                shard = (
+                    (COLS_AXIS, COLS_AXIS_Y)
+                    if inputs[properties.cell_shard].shape[0] >= 2
+                    else COLS_AXIS
+                )
             col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz,
                                shard)
             gauss = (
@@ -267,19 +271,23 @@ class PaiNN(nn.Module):
                     fused_geo = None
                 elif _cbmod._impl().startswith("pallas"):
                     # hybrid: geometry kernel once per step; message
-                    # kernels (fwd AND the geo-resident bwd) read the geo
-                    # tensors; position cotangents still come straight
-                    # out of the message backward (stop_gradient breaks
-                    # the second R path through the geometry kernel)
-                    from ..ops.colblock_geo import column_geometry
+                    # kernels (fwd AND the geo-resident bwd) read ONE
+                    # packed geo tensor (a single operand per pallas call
+                    # instead of 9 per-bucket arrays — kills the per-call
+                    # slice/copy staging); position cotangents still come
+                    # straight out of the message backward (stop_gradient
+                    # breaks the second R path through the geometry
+                    # kernel)
+                    from ..ops.colblock_geo import column_geometry_packed
 
                     fused_full = "geores"
-                    fused_geo = jax.lax.stop_gradient(column_geometry(
-                        inputs[properties.R],
-                        inputs[properties.cell_coff_fm],
-                        col_refs, centers, widths, cutoff_fn.cutoff,
-                        with_d=True,
-                    ))
+                    fused_geo = jax.lax.stop_gradient(
+                        column_geometry_packed(
+                            inputs[properties.R],
+                            inputs[properties.cell_coff_fm],
+                            col_refs, centers, widths, cutoff_fn.cutoff,
+                            with_d=True,
+                        ))
                 else:
                     from ..ops.colblock_geo import column_geometry
 

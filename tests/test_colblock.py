@@ -541,9 +541,21 @@ class TestFusedGeometryBackward:
                     x, mu, Rv, geo, fw, coff_fm, cw, refs, cutoff)
                 return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
 
+            def loss_geores_packed(args):
+                # packed geo: ONE [nx, ny, nch, Ktot] tensor feeding both
+                # the fwd message kernel and the geo-resident backward
+                x, mu, Rv, fw = args
+                geo = jax.lax.stop_gradient(cg.column_geometry_packed(
+                    Rv, coff_fm, refs, centers, widths, cutoff,
+                    with_d=True))
+                dq, dmu = painn_message_columns_fm_geores(
+                    x, mu, Rv, geo, fw, coff_fm, cw, refs, cutoff)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
             args = (x0, mu0, Rs, FW)
             v1, g1 = jax.value_and_grad(loss_ref)(args)
-            for loss_other in (loss_fused, loss_full, loss_geores):
+            for loss_other in (loss_fused, loss_full, loss_geores,
+                               loss_geores_packed):
                 v2, g2 = jax.value_and_grad(loss_other)(args)
                 np.testing.assert_allclose(v1, v2, rtol=1e-6)
                 for n, a, b in zip(["x", "mu", "R", "FW"], g1, g2):

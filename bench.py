@@ -135,6 +135,15 @@ def main():
     # rebuild probe keeps chunk boundaries to one scalar fetch.
     chunk = 300
     sim.simulate(chunk, chunk_size=chunk)
+    # the warmup chunk equilibrated the box — retighten the edge-bucket
+    # capacities to the MEASURED occupancy (+headroom).  The first-build
+    # jitter probe pads ~20-25% of edge slots for the cold->thermal
+    # occupancy shift; every message kernel scales with the slot count.
+    # Costs one recompile (shapes shrink); grow-on-overflow keeps
+    # correctness if occupancies later exceed the tightened capacities.
+    nbl.retighten(sim.state.system, jitter_fraction=0.05,
+                  bucket_headroom=1.0 / 24.0)
+    sim.simulate(chunk, chunk_size=chunk)  # compile the tightened shapes
     # compile the on-device rebuild path outside the timed region (it
     # fires at most once per few hundred steps inside it)
     calc.dense_nbl._rebuild_on_device(sim.state.system)

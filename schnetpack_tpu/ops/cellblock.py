@@ -472,21 +472,29 @@ class ColumnLayout:
     bucket c9 occupies rows [koffs[c9], koffs[c9] + ksizes[c9]).
 
     Attributes:
-        dims: (nx, ny, P, ksizes: tuple of 9 ints)
+        dims: (nx, ny, P, ksizes: tuple of 9 ints — or 9*nb with
+            z-blocked buckets, blk-major: bucket index b = blk*9 + c9)
         order/rank/slot_mask: as in :class:`CellLayout` (slot = col*P + r)
         qcol:  [nx, ny, Ktot] int32 in-column row of the source (-1 pad)
         dcol:  [nx, ny, Ktot] int32 in-column row of the destination (-1 pad)
         icol/jcol: [nx, ny, Ktot] int32 global sorted indices (0 pad)
         offcol: [nx, ny, Ktot, 3] float Cartesian periodic offsets
         emask: [nx, ny, Ktot] float32 1.0 for real edges
+        nb: dest-z blocks per column (1 = unblocked)
+        wins: per-bucket static circular source-row windows
+            tuple of (w0, S) — all sources of bucket b satisfy
+            (src - w0) mod P < S; None when nb == 1
     """
 
     __slots__ = (
         "dims", "order", "rank", "slot_mask",
         "qcol", "dcol", "icol", "jcol", "offcol", "emask",
+        "nb", "wins",
     )
 
     def __init__(self, **kw):
+        kw.setdefault("nb", 1)
+        kw.setdefault("wins", None)
         for k in self.__slots__:
             setattr(self, k, kw[k])
 
@@ -497,6 +505,28 @@ class ColumnLayout:
     @property
     def column_capacity(self):
         return self.dims[2]
+
+
+def _circular_window(rows: np.ndarray, P: int, margin: int) -> Tuple[int, int]:
+    """Minimal 8-aligned circular window [w0, w0+S) mod P covering
+    ``rows`` (unique in [0, P)), widened by ``margin`` on both sides."""
+    if len(rows) == 0:
+        return 0, 8
+    u = np.unique(rows)
+    if len(u) == 1:
+        w0, span = int(u[0]), 1
+    else:
+        gaps = np.diff(np.concatenate([u, [u[0] + P]]))
+        g = int(np.argmax(gaps))
+        w0 = int(u[(g + 1) % len(u)])
+        span = P - int(gaps[g])
+    w0 = w0 - margin
+    span = span + 2 * margin
+    w0a = (w0 % P) // 8 * 8
+    S = int(-(-(span + (w0 % P) - w0a) // 8) * 8)
+    if S >= P:
+        return 0, P
+    return w0a, S
 
 
 def build_column_layout(
@@ -510,11 +540,26 @@ def build_column_layout(
     dims: Optional[Tuple[int, int, int]] = None,
     edges: Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]] = None,
     min_grid: int = 1,
+    dest_block: Optional[int] = None,
+    windows: Optional[Tuple[Tuple[int, int], ...]] = None,
+    window_margin: int = 8,
 ) -> ColumnLayout:
     """Bin atoms cell-major and bucket edges by (destination column, c9).
 
     Same binning/sorting as :func:`build_cell_layout`; ``bucket_size``
     pins Kcol for shape stability across MD rebuilds.
+
+    With ``dest_block`` = D (multiple of 8), every (column, c9) bucket is
+    further split by the destination row's z-block ``dcol // D`` into
+    nb = P/D blocked buckets (blk-major bucket index b = blk*9 + c9), and
+    a static circular source-row window (w0, S) is measured per bucket:
+    columns are z-sorted, so the sources of a z-block's edges cluster in
+    a narrow row band.  The fused kernels then contract one-hots at depth
+    S (~D + 2*cutoff_rows) instead of the full column depth P, and fold
+    destinations at depth D — the dominant FLOP term of the whole MD step
+    drops by ~P/S.  ``windows`` pins the per-bucket windows for shape/
+    program stability across MD rebuilds (CapacityError when they no
+    longer cover, like ``bucket_size``).
     """
     R = np.asarray(R, np.float64)
     A = len(R)

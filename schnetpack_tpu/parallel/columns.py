@@ -134,15 +134,25 @@ def make_sharded_column_eval(pot, params, inputs, mesh: Mesh):
     cross-shard force terms flow back through the halo ppermutes.
     """
     in_specs = column_in_specs(inputs)
+    two_d = _mesh_is_2d(mesh)
+    fspec = (PartitionSpec(COLS_AXIS, COLS_AXIS_Y) if two_d
+             else PartitionSpec(COLS_AXIS))
+    espec = (PartitionSpec((COLS_AXIS, COLS_AXIS_Y)) if two_d
+             else PartitionSpec(COLS_AXIS))
 
     def local_eval(ins):
+        shape4 = ins[P.R].shape[:3] if ins[P.R].ndim == 4 else None
+        ins = _flatten_atoms(ins)
         out = pot.apply(params, ins, do_postprocessing=False)
-        return out[P.energy], out[P.forces]
+        forces = out[P.forces]
+        if shape4 is not None:
+            forces = forces.reshape(*shape4, 3)
+        return out[P.energy], forces
 
     f = jax.shard_map(
         local_eval, mesh=mesh,
         in_specs=(in_specs,),
-        out_specs=(PartitionSpec(COLS_AXIS), PartitionSpec(COLS_AXIS)),
+        out_specs=(espec, fspec),
         check_vma=False,
     )
     return jax.jit(f)
@@ -159,8 +169,16 @@ def make_sharded_column_md(pot, params, inputs, mesh: Mesh,
     domain decomposition; here it is in-framework).
     """
     in_specs = column_in_specs(inputs)
+    two_d = _mesh_is_2d(mesh)
+    rspec = (PartitionSpec(COLS_AXIS, COLS_AXIS_Y) if two_d
+             else PartitionSpec(COLS_AXIS))
 
     def run(ins, R0, p0):
+        shape4 = ins[P.R].shape[:3] if ins[P.R].ndim == 4 else None
+        ins = _flatten_atoms(ins)
+        if shape4 is not None:
+            R0 = R0.reshape(-1, 3)
+            p0 = p0.reshape(-1, 3)
         amask = ins[P.atom_mask][:, None]
 
         def force(R):
@@ -180,13 +198,84 @@ def make_sharded_column_md(pot, params, inputs, mesh: Mesh,
         f0 = force(R0)
         (Rn, pn, _), _ = jax.lax.scan(body, (R0, p0, f0), None,
                                       length=n_steps)
+        if shape4 is not None:
+            Rn = Rn.reshape(*shape4, 3)
+            pn = pn.reshape(*shape4, 3)
         return Rn, pn
 
     f = jax.shard_map(
         run, mesh=mesh,
-        in_specs=(in_specs, PartitionSpec(COLS_AXIS),
-                  PartitionSpec(COLS_AXIS)),
-        out_specs=(PartitionSpec(COLS_AXIS), PartitionSpec(COLS_AXIS)),
+        in_specs=(in_specs, rspec, rspec),
+        out_specs=(rspec, rspec),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
+def make_sharded_column_rpmd(pot, params, inputs, mesh: Mesh,
+                             n_beads: int = 2, mass: float = 1.0,
+                             dt: float = 0.1, n_steps: int = 4,
+                             omega: float = 1.0):
+    """jit'd (inputs, R0, p0) -> (R_n, p_n) for a ring-polymer (RPMD)
+    velocity-Verlet chunk run ENTIRELY inside shard_map.
+
+    ``R0/p0`` carry a leading bead axis [n_beads, A, 3] (replicated over
+    the mesh is NOT needed — the bead axis stays unsharded while the atom
+    axis is slab/block-sharded).  Per step each bead's potential force is
+    a sharded column evaluation (halo ppermutes only); the inter-bead
+    harmonic spring force ``-m ω² (2 R_b − R_{b−1} − R_{b+1})`` is local
+    elementwise math, so beads add zero interconnect traffic.  This is
+    the multi-chip analog of the reference's ring-polymer MD
+    (md/integrators.py RingPolymer; System [R, A, 3] replicas).
+    """
+    in_specs = column_in_specs(inputs)
+    two_d = _mesh_is_2d(mesh)
+    base = ((COLS_AXIS, COLS_AXIS_Y) if two_d else (COLS_AXIS,))
+    rspec = PartitionSpec(None, *base)
+
+    def run(ins, R0, p0):
+        shape4 = ins[P.R].shape[:3] if ins[P.R].ndim == 4 else None
+        ins = _flatten_atoms(ins)
+        if shape4 is not None:
+            R0 = R0.reshape(n_beads, -1, 3)
+            p0 = p0.reshape(n_beads, -1, 3)
+        amask = ins[P.atom_mask][None, :, None]
+
+        def pot_force(R):
+            def one(Rb):
+                b = dict(ins)
+                b[P.R] = Rb
+                out = pot.apply(params, b, do_postprocessing=False)
+                return out[P.forces]
+            return jnp.stack([one(R[b]) for b in range(n_beads)]) * amask
+
+        def spring(R):
+            if n_beads == 1:
+                return jnp.zeros_like(R)
+            up = jnp.roll(R, -1, axis=0)
+            dn = jnp.roll(R, 1, axis=0)
+            return -mass * omega * omega * (2.0 * R - up - dn) * amask
+
+        def body(carry, _):
+            R, p, f = carry
+            p1 = p + 0.5 * dt * f
+            R1 = R + dt * p1 / mass
+            f1 = pot_force(R1) + spring(R1)
+            p2 = p1 + 0.5 * dt * f1
+            return (R1, p2, f1), None
+
+        f0 = pot_force(R0) + spring(R0)
+        (Rn, pn, _), _ = jax.lax.scan(body, (R0, p0, f0), None,
+                                      length=n_steps)
+        if shape4 is not None:
+            Rn = Rn.reshape(n_beads, *shape4, 3)
+            pn = pn.reshape(n_beads, *shape4, 3)
+        return Rn, pn
+
+    f = jax.shard_map(
+        run, mesh=mesh,
+        in_specs=(in_specs, rspec, rspec),
+        out_specs=(rspec, rspec),
         check_vma=False,
     )
     return jax.jit(f)

@@ -53,6 +53,12 @@ class PaiNNInteraction(nn.Module):
         A = q.shape[0]
         x = Dense(F, activation=self.activation, name="ctx_0")(q)
         x = Dense(3 * F, name="ctx_1")(x)
+        # column fast path: mu travels FLAT [A, 3F] (the kernels' layout).
+        # [A, 3, F] tiles the 3-axis padded to 8 sublanes on TPU, so every
+        # reshape between the two shapes is a real ~10 MB relayout; keeping
+        # the kernel layout end-to-end removes ~4 of them per interaction
+        # (fwd + cotangents).
+        mu_flat = mu if mu.ndim == 2 else mu.reshape(A, 3 * F)
 
         if fused_ctx is not None:
             # blocked layouts: gather + filter + message + neighbor-sum run
@@ -64,7 +70,7 @@ class PaiNNInteraction(nn.Module):
 
                 _, geo, FW_aug, refs, R_tab, coff_fm, cw, rc = fused_ctx
                 dq_sum, dmu_sum = painn_message_columns_fm_geores(
-                    x, mu.reshape(A, 3 * F), R_tab, geo, FW_aug,
+                    x, mu_flat, R_tab, geo, FW_aug,
                     coff_fm, cw, refs, rc
                 )
             elif fused_ctx[0] == "column_full_fused":
@@ -75,7 +81,7 @@ class PaiNNInteraction(nn.Module):
 
                 _, FW_aug, refs, R_tab, coff_fm, cw, rc = fused_ctx
                 dq_sum, dmu_sum = painn_message_columns_full_fused(
-                    x, mu.reshape(A, 3 * F), R_tab, FW_aug,
+                    x, mu_flat, R_tab, FW_aug,
                     coff_fm, cw, refs, rc
                 )
             elif fused_ctx[0] == "column_fm":
@@ -83,10 +89,10 @@ class PaiNNInteraction(nn.Module):
 
                 _, geo, FW_aug, refs = fused_ctx
                 dq_sum, dmu_sum = painn_message_columns_fm(
-                    x, mu.reshape(A, 3 * F), geo, FW_aug, refs
+                    x, mu_flat, geo, FW_aug, refs
                 )
             elif fused_ctx[0] == "column":
-                xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
+                xmu = jnp.concatenate([x, mu_flat], axis=-1)
                 from ..ops.colblock import painn_message_columns
 
                 _, rbf_aug, FW_aug, refs = fused_ctx
@@ -96,13 +102,14 @@ class PaiNNInteraction(nn.Module):
             else:
                 from ..ops.painn_fused import painn_message_cellblock
 
-                xmu = jnp.concatenate([x, mu.reshape(A, 3 * F)], axis=-1)
+                xmu = jnp.concatenate([x, mu_flat], axis=-1)
                 _, rbf_aug, FW_aug, cell_qidx = fused_ctx
                 dq_sum, dmu_sum = painn_message_cellblock(
                     xmu, rbf_aug, dir_ij, FW_aug, cell_qidx
                 )
             q = q + dq_sum
-            mu = mu + dmu_sum.reshape(A, 3, F)
+            mu = (mu_flat + dmu_sum if mu.ndim == 2
+                  else mu + dmu_sum.reshape(A, 3, F))
         elif nbh_idx is not None:
             if nbh_rev is not None:
                 # scatter-free backward via the reverse-edge map
@@ -163,6 +170,37 @@ class PaiNNMixing(nn.Module):
 
         # Dense(2F, use_bias=False, name="channel_mix") -> two F-blocks
         k_mix = _dense_params("channel_mix", F, 2 * F, bias=False)["kernel"]
+        if mu.ndim == 2:
+            # flat [A, 3F] layout (column fast path): per-component F-block
+            # slices are free lane slices at 128-multiples — same weights,
+            # same math, no [A, 3, F] relayout
+            mu_c = [mu[:, c * F:(c + 1) * F] for c in range(3)]
+            mu_V_c = [jnp.dot(m, k_mix[:, :F]) for m in mu_c]
+            mu_W_c = [jnp.dot(m, k_mix[:, F:]) for m in mu_c]
+            mu_Vn = jnp.sqrt(
+                mu_V_c[0] ** 2 + mu_V_c[1] ** 2 + mu_V_c[2] ** 2
+                + self.epsilon
+            )
+            k0 = _dense_params("intra_0", 2 * F, F)
+            x = self.activation(
+                jnp.dot(q, k0["kernel"][:F])
+                + jnp.dot(mu_Vn, k0["kernel"][F:])
+                + k0["bias"]
+            )
+            k1 = _dense_params("intra_1", F, 3 * F)
+            dq_intra = jnp.dot(x, k1["kernel"][:, :F]) + k1["bias"][:F]
+            dmu_intra = (
+                jnp.dot(x, k1["kernel"][:, F:2 * F]) + k1["bias"][F:2 * F]
+            )
+            dqmu_intra = (
+                jnp.dot(x, k1["kernel"][:, 2 * F:]) + k1["bias"][2 * F:]
+            )
+            dmu = jnp.concatenate(
+                [dmu_intra * w for w in mu_W_c], axis=-1)
+            vw = (mu_V_c[0] * mu_W_c[0] + mu_V_c[1] * mu_W_c[1]
+                  + mu_V_c[2] * mu_W_c[2])
+            dq = dq_intra + dqmu_intra * vw
+            return q + dq, mu + dmu
         mu_V = jnp.dot(mu, k_mix[:, :F])   # [A, 3, F]
         mu_W = jnp.dot(mu, k_mix[:, F:])   # [A, 3, F]
         mu_Vn = jnp.sqrt(jnp.sum(mu_V**2, axis=-2) + self.epsilon)  # [A, F]
@@ -408,7 +446,13 @@ class PaiNN(nn.Module):
                 s = inputs.get(properties.spin_multiplicity, jnp.zeros(M, q.dtype))
                 q = q + ElectronicEmbedding(F, is_charged=False, name="spin_embedding")(q, s, idx_m, M)
 
-        mu = jnp.zeros((q.shape[0], 3, F), dtype=q.dtype)
+        if fused_ctx_list is not None:
+            # column/cell fast path: mu stays flat [A, 3F] across all
+            # interaction+mixing blocks (kernel layout; one reshape at
+            # the end instead of per-block relayouts)
+            mu = jnp.zeros((q.shape[0], 3 * F), dtype=q.dtype)
+        else:
+            mu = jnp.zeros((q.shape[0], 3, F), dtype=q.dtype)
 
         if self.shared_interactions:
             inter = PaiNNInteraction(F, self.activation, name="interaction_shared")
@@ -429,5 +473,7 @@ class PaiNN(nn.Module):
             q, mu = mix(q, mu)
 
         inputs[properties.scalar_representation] = q
+        if mu.ndim == 2:
+            mu = mu.reshape(q.shape[0], 3, F)
         inputs[properties.vector_representation] = mu
         return inputs

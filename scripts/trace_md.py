@@ -72,6 +72,14 @@ def main(mode="cellblock", n_atoms=10_976, steps=10):
 
     sim = build_sim(mode, n_atoms)
     sim.simulate(steps, chunk_size=steps)  # compile + warm
+    if mode == "cellblock":
+        # bench.py's post-equilibration capacity retighten
+        nbl = sim.calculator.dense_nbl
+        K0 = sum(nbl._K)
+        nbl.retighten(sim.state.system, jitter_fraction=0.05,
+                      bucket_headroom=1.0 / 24.0)
+        print(f"retighten: Ktot {K0} -> {sum(nbl._K)}", file=sys.stderr)
+        sim.simulate(steps, chunk_size=steps)  # recompile tightened shapes
     out = f"/tmp/trace_{mode}"
     with jax.profiler.trace(out):
         sim.simulate(steps, chunk_size=steps)

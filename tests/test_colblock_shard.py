@@ -185,3 +185,95 @@ def test_sharded_kernels_interpret_small():
                                    rtol=2e-4, atol=2e-5)
     finally:
         cb.IMPL, cb.PIECES = old_impl, old_pieces
+
+
+def test_sharded_2d_block_forces_match_replicated():
+    """2-D (x, y) block decomposition via the user-facing columns API:
+    forces and energy match the replicated run on a (4, 2) device mesh
+    (VERDICT r3 #7 — meshes larger than nx can shard)."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    from schnetpack_tpu.parallel.columns import (
+        column_inputs, make_column_mesh, make_sharded_column_eval,
+    )
+
+    cutoff = 5.0
+    R, Z, cell = _system()
+    lay = build_column_layout(R, cutoff, cell, np.ones(3, bool),
+                              dims=(8, 8, 1))
+    pot, params = _model(cutoff)
+
+    ref_in = column_inputs(lay, R, Z, sharded=False)
+    out = pot.apply(params, dict(ref_in), do_postprocessing=False)
+    e_ref = np.asarray(out[P.energy]).sum()
+    f_ref = np.asarray(out[P.forces])
+
+    sh_in = column_inputs(lay, R, Z, sharded=True, mesh_2d=True)
+    mesh = make_column_mesh(8, dims=(4, 2))
+    f = make_sharded_column_eval(pot, params, sh_in, mesh)
+    with mesh:
+        e_sh, f_sh = f(sh_in)
+    np.testing.assert_allclose(np.asarray(e_sh).sum(), e_ref, rtol=1e-5)
+    nx, ny, _ = lay.qcol.shape
+    Pcap = len(lay.order) // (nx * ny)
+    np.testing.assert_allclose(
+        np.asarray(f_sh).reshape(-1, 3), f_ref, rtol=1e-4, atol=1e-5)
+
+    hlo = f.lower(sh_in).compile().as_text()
+    assert "collective-permute" in hlo
+    for m in re.finditer(r"all-gather[^=]*=\s*(\S+)\s", hlo):
+        shape = m.group(1)
+        nums = [int(x) for x in re.findall(r"\d+", shape)]
+        assert np.prod(nums or [1]) < 10_000, (
+            f"large all-gather in 2-D sharded HLO: {shape}")
+
+
+def test_sharded_2d_md_chunk_matches_unsharded():
+    """Velocity-Verlet chunk inside shard_map on the 2-D block mesh."""
+    if jax.device_count() < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from schnetpack_tpu.parallel.columns import (
+        column_inputs, make_column_mesh, make_sharded_column_md,
+    )
+
+    cutoff = 4.0
+    R, Z, cell = _system(n=480, L=16.4, cutoff=4.0, seed=11)
+    lay = build_column_layout(R, cutoff, cell, np.ones(3, bool),
+                              dims=(4, 4, 1))
+    pot, params = _model(cutoff)
+
+    sh_in = column_inputs(lay, R, Z, sharded=True, mesh_2d=True)
+    mesh = make_column_mesh(8, dims=(4, 2))
+    nx, ny, _ = lay.qcol.shape
+    Pcap = len(lay.order) // (nx * ny)
+    rng = np.random.RandomState(5)
+    R0 = sh_in[P.R]
+    p0 = jnp.asarray(rng.randn(nx, ny, Pcap, 3) * 0.02,
+                     R0.dtype) * sh_in[P.atom_mask][..., None]
+    md = make_sharded_column_md(pot, params, sh_in, mesh,
+                                mass=10.0, dt=0.05, n_steps=4)
+    with mesh:
+        Rn, pn = md(sh_in, R0, p0)
+
+    # unsharded reference chunk
+    ref_in = column_inputs(lay, R, Z, sharded=False)
+    amask = np.asarray(ref_in[P.atom_mask])[:, None]
+
+    def force_ref(Rf):
+        b = dict(ref_in)
+        b[P.R] = jnp.asarray(Rf)
+        return np.asarray(
+            pot.apply(params, b, do_postprocessing=False)[P.forces]) * amask
+
+    R_r = np.asarray(R0).reshape(-1, 3)
+    p_r = np.asarray(p0).reshape(-1, 3)
+    f_r = force_ref(R_r)
+    for _ in range(4):
+        p1 = p_r + 0.5 * 0.05 * f_r
+        R_r = R_r + 0.05 * p1 / 10.0
+        f_r = force_ref(R_r)
+        p_r = p1 + 0.5 * 0.05 * f_r
+    err = np.abs(np.asarray(Rn).reshape(-1, 3) - R_r).max()
+    assert err < 1e-4, f"2-D sharded MD diverged: {err}"

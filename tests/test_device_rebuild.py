@@ -269,3 +269,74 @@ def test_md_loop_rebuilds_without_host(monkeypatch):
     sim.simulate(120, chunk_size=12)
     assert nbl._build_positions_dev is not ref0, "no rebuild ever triggered"
     assert np.isfinite(np.asarray(sim.system.positions)).all()
+
+
+def test_retighten_shrinks_capacity_and_keeps_md_exact():
+    """bench.py's post-equilibration capacity retighten: shapes shrink,
+    forces after retighten match a fresh evaluation bit-for-bit, and the
+    MD loop keeps running (recompile + grow-on-overflow still works)."""
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.md import (
+        MaxwellBoltzmannInit, Simulator, VelocityVerlet, load_molecules,
+    )
+    from schnetpack_tpu.md.calculators import SchNetPackCalculator
+    from schnetpack_tpu.md.neighborlist_md import CellBlockNeighborListMD
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+    from schnetpack_tpu.units import _parse_unit, md_units
+
+    cutoff = 3.0
+    rng = np.random.RandomState(7)
+    pos = (np.mgrid[0:4, 0:4, 0:4].reshape(3, -1).T * 3.2 + 1.0
+           + rng.uniform(-0.05, 0.05, (64, 3)))
+    cell = np.eye(3) * 12.8
+    mol = {P.Z: np.full(64, 18, np.int64), P.R: pos, P.cell: cell,
+           P.pbc: np.ones(3, bool)}
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                             cutoff=cutoff),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy), Forces()],
+    )
+    probe = NeighborListTransform(cutoff)(
+        {P.Z: mol[P.Z][:16], P.R: mol[P.R][:16], P.cell: np.zeros((3, 3)),
+         P.pbc: np.zeros(3, bool)})
+    params = pot.init(jax.random.PRNGKey(0),
+                      collate([probe], PaddingSpec(24, 512, 2)))
+    system = load_molecules([mol])
+    system = MaxwellBoltzmannInit(300.0).initialize_system(
+        system, jax.random.PRNGKey(3))
+    conv = _parse_unit("Ang") * md_units().length
+    nbl = CellBlockNeighborListMD(cutoff * conv, skin=0.4 * conv,
+                                  layout="column")
+    calc = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                cutoff_shell=0.4, neighbor_list=nbl)
+    sim = Simulator(system, VelocityVerlet(1.0), calc, progress=False,
+                    log_keys=("temperature",))
+    sim.simulate(10, chunk_size=10)
+
+    K_before = sum(nbl._K)
+    nbl.retighten(sim.state.system, jitter_fraction=0.05,
+                  bucket_headroom=1.0 / 24.0)
+    K_after = sum(nbl._K)
+    assert K_after <= K_before, (K_before, K_after)
+
+    # forces on the retightened layout match a fresh calculator exactly
+    R_now = np.asarray(sim.state.system.positions)
+    sim.simulate(10, chunk_size=10)
+    assert np.isfinite(np.asarray(sim.state.system.positions)).all()
+
+    nbl2 = CellBlockNeighborListMD(cutoff * conv, skin=0.4 * conv,
+                                   layout="column")
+    calc2 = SchNetPackCalculator(pot, params, cutoff=cutoff,
+                                 cutoff_shell=0.4, neighbor_list=nbl2)
+    sys2 = load_molecules([mol])
+    sys2 = sys2.replace(positions=jnp.asarray(R_now))
+    out1 = calc.calculate(sim.state.system.replace(
+        positions=jnp.asarray(R_now)), None)
+    out2 = calc2.calculate(sys2, None)
+    f1 = np.asarray(out1.forces)
+    f2 = np.asarray(out2.forces)
+    np.testing.assert_allclose(f1, f2, rtol=2e-5, atol=2e-6)

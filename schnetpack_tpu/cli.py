@@ -42,8 +42,14 @@ def build_task(config: Dict, model):
     task_cfg = dict(config.get("task", {}))
     scheduler_cfg = task_cfg.pop("scheduler", None)
     outputs = instantiate(task_cfg.pop("outputs", []))
+    # callbacks/ema config group (parity: reference callbacks/ema.yaml) —
+    # EMA is a task option here (donated-buffer weight copy)
+    cb = config.get("callbacks", {}) or {}
+    if isinstance(cb.get("ema"), dict) and task_cfg.get("ema_decay") is None:
+        task_cfg["ema_decay"] = cb["ema"].get("decay", 0.995)
     task = AtomisticTask(model, outputs=outputs, **{
-        k: v for k, v in task_cfg.items() if not isinstance(v, dict)
+        k: v for k, v in task_cfg.items()
+        if not isinstance(v, dict) or k == "optimizer_args"
     })
     scheduler = ReduceLROnPlateau(**scheduler_cfg) if scheduler_cfg else None
     return task, scheduler
@@ -87,6 +93,11 @@ def train(config: Dict) -> Dict[str, float]:
     trainer_cfg.pop("_target_", None)
     cb = config.get("callbacks", {}) or {}
     monitor = (cb.get("checkpoint") or {}).get("monitor", "val_loss")
+    # callbacks/earlystopping group -> trainer early_stopping_patience
+    if isinstance(cb.get("early_stopping"), dict):
+        trainer_cfg.setdefault(
+            "early_stopping_patience", cb["early_stopping"].get("patience")
+        )
     from .train.loggers import build_logger
 
     loggers = []

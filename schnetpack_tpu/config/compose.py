@@ -135,6 +135,15 @@ class Composer:
                 if key == "experiment":
                     # experiment overlays patch the whole tree
                     cfg = _deep_merge(cfg, sub)
+                elif "/" in key:
+                    # subgroup swap (e.g. task/optimizer=sgd): the file
+                    # holds keys of the PARENT group node — merge them
+                    # into that node (hydra-style package semantics)
+                    parent = key.rsplit("/", 1)[0]
+                    node = cfg
+                    for seg in parent.split("/"):
+                        node = node.setdefault(seg, {})
+                    node.update(_deep_merge(node, sub))
                 else:
                     # group swap: REPLACE the group node entirely
                     cfg[key] = sub

@@ -42,6 +42,8 @@ class AtomsDataModule:
         data_workdir: Optional[str] = None,
         padding: Optional[PaddingSpec] = None,
         seed: int = 0,
+        train_sampler_cls: Optional[str] = None,
+        train_sampler_args: Optional[Dict] = None,
     ):
         self.datapath = datapath
         self.batch_size = batch_size
@@ -58,6 +60,8 @@ class AtomsDataModule:
         self.padding = padding
         self.seed = seed
         self.data_workdir = data_workdir
+        self.train_sampler_cls = train_sampler_cls
+        self.train_sampler_args = dict(train_sampler_args or {})
 
         self._transforms = list(transforms)
         self._train_transforms = list(train_transforms) if train_transforms is not None else None
@@ -185,10 +189,27 @@ class AtomsDataModule:
         return self.dataset.atomrefs.get(property_name)
 
     # ------------------------------------------------------------------
+    def _build_train_sampler(self):
+        """Instantiate the configured sampler (e.g. StratifiedSampler;
+        parity: reference data/datamodule.py train_sampler_cls and
+        configs/data/sampler/stratified_property.yaml)."""
+        if not self.train_sampler_cls:
+            return None
+        from ..config.compose import instantiate
+        from ..utils import str2class
+
+        cls = (self.train_sampler_cls
+               if not isinstance(self.train_sampler_cls, str)
+               else str2class(self.train_sampler_cls))
+        args = {k: instantiate(v) if isinstance(v, dict) else v
+                for k, v in self.train_sampler_args.items()}
+        return cls(self.train_dataset, **args)
+
     def train_dataloader(self) -> AtomsLoader:
+        sampler = self._build_train_sampler()
         return AtomsLoader(
-            self.train_dataset, self.batch_size, shuffle=True,
-            padding=self.padding, seed=self.seed,
+            self.train_dataset, self.batch_size, shuffle=sampler is None,
+            padding=self.padding, seed=self.seed, sampler=sampler,
         )
 
     def val_dataloader(self) -> AtomsLoader:

@@ -25,6 +25,112 @@ from ..data.loader import PaddingSpec, collate, padding_for, round_up
 from ..transform.neighborlist import NeighborListTransform
 from ..units import convert_units
 
+# ASE calculator protocol base.  When ase is importable, SpkCalculator is a
+# genuine ``ase.calculators.calculator.Calculator`` subclass (parity:
+# reference ase_interface.py:163); otherwise a faithful shim implements the
+# same protocol (results dict, check_state/calculation_required/get_property)
+# so downstream drivers written against the ASE surface keep working.
+try:  # pragma: no cover - exercised only when ase is installed
+    from ase.calculators.calculator import Calculator as CalculatorBase
+    from ase.calculators.calculator import all_changes
+
+    HAS_ASE = True
+except ImportError:
+    HAS_ASE = False
+    all_changes = [
+        "positions", "numbers", "cell", "pbc",
+        "initial_charges", "initial_magmoms", "charges", "magmoms",
+    ]
+
+    def _copy_structure(atoms):
+        if isinstance(atoms, dict):
+            return {k: np.copy(v) if isinstance(v, np.ndarray) else v
+                    for k, v in atoms.items()}
+        return atoms.copy()
+
+    def _structure_field(atoms, name):
+        if isinstance(atoms, dict):
+            keymap = {
+                "positions": structure.R, "numbers": structure.Z,
+                "cell": structure.cell, "pbc": structure.pbc,
+            }
+            return np.asarray(atoms.get(keymap[name], 0.0))
+        getter = {
+            "positions": "get_positions", "numbers": "get_atomic_numbers",
+            "cell": "get_cell", "pbc": "get_pbc",
+        }[name]
+        return np.asarray(getattr(atoms, getter)())
+
+    class CalculatorBase:
+        """Stand-in for ``ase.calculators.calculator.Calculator`` matching
+        its public protocol (the part SchNetPack's reference relies on:
+        ``results``, ``atoms`` snapshot, ``check_state``,
+        ``calculation_required``, ``get_property``)."""
+
+        implemented_properties: List[str] = []
+
+        def __init__(self, restart=None, label=None, atoms=None, **kwargs):
+            self.results: Dict[str, np.ndarray] = {}
+            self.atoms = None
+            self.parameters = dict(kwargs)
+            if atoms is not None:
+                self.atoms = _copy_structure(atoms)
+                try:
+                    atoms.calc = self
+                except (AttributeError, TypeError):
+                    pass
+
+        def reset(self):
+            self.results = {}
+
+        def calculate(self, atoms=None, properties=("energy",),
+                      system_changes=all_changes):
+            if atoms is not None:
+                self.atoms = _copy_structure(atoms)
+
+        def check_state(self, atoms, tol: float = 1e-15) -> List[str]:
+            if self.atoms is None:
+                return list(all_changes)
+            changes = []
+            for name in ("positions", "numbers", "cell", "pbc"):
+                a = _structure_field(self.atoms, name)
+                b = _structure_field(atoms, name)
+                if a.shape != b.shape or not np.allclose(
+                    a.astype(np.float64), b.astype(np.float64), atol=tol
+                ):
+                    changes.append(name)
+            return changes
+
+        def calculation_required(self, atoms, properties) -> bool:
+            if self.check_state(atoms):
+                return True
+            return any(p not in self.results for p in properties)
+
+        def get_property(self, name, atoms=None, allow_calculation=True):
+            if atoms is None:
+                atoms = self.atoms
+            if self.calculation_required(atoms, [name]):
+                if not allow_calculation:
+                    return None
+                self.calculate(atoms, [name], self.check_state(atoms))
+            if name not in self.results:
+                raise KeyError(
+                    f"{name!r} not present in this calculation"
+                )
+            result = self.results[name]
+            if isinstance(result, np.ndarray):
+                result = result.copy()
+            return result
+
+        def get_potential_energy(self, atoms=None, **kwargs):
+            return self.get_property("energy", atoms)
+
+        def get_forces(self, atoms=None, **kwargs):
+            return self.get_property("forces", atoms)
+
+        def get_stress(self, atoms=None, **kwargs):
+            return self.get_property("stress", atoms)
+
 
 def _to_sample(atoms) -> Dict[str, np.ndarray]:
     """Accept ase.Atoms or a sample dict."""
@@ -93,14 +199,18 @@ class RelativeUncertainty:
         return std / (np.abs(mean) + 1e-12)
 
 
-class SpkCalculator:
-    """Model calculator over single structures (ASE-compatible surface).
+class SpkCalculator(CalculatorBase):
+    """Model calculator over single structures — a genuine ASE
+    ``Calculator`` subclass when ase is importable (parity: reference
+    ase_interface.py:163-339), so ASE optimizers/constraints/filters see
+    the standard ``results`` protocol; otherwise the shim base provides
+    the same surface for dict structures.
 
     ``energy_unit``/``position_unit`` describe the model's units; results
-    are converted to ASE's eV/Ang frame (parity: :163-339).
+    are converted to ASE's eV/Ang frame.
     """
 
-    implemented_properties = ["energy", "forces", "stress", "dipole_moment"]
+    implemented_properties = ["energy", "forces", "stress"]
 
     def __init__(
         self,
@@ -117,6 +227,7 @@ class SpkCalculator:
         transforms: Sequence = (),
         **kwargs,
     ):
+        CalculatorBase.__init__(self, **kwargs)
         self.model = model
         self.params = params
         self.converter = AtomsConverter(
@@ -127,7 +238,6 @@ class SpkCalculator:
         self.stress_key = stress_key
         self.energy_conversion = convert_units(energy_unit, "eV")
         self.position_conversion = convert_units(position_unit, "Ang")
-        self.results: Dict[str, np.ndarray] = {}
         self._last_sample_fingerprint = None
         self._apply = jax.jit(lambda p, b: model.apply(p, b))
 
@@ -138,11 +248,23 @@ class SpkCalculator:
             np.asarray(sample.get(structure.cell, 0)).tobytes(),
         )
 
-    def calculate(self, atoms) -> Dict[str, np.ndarray]:
+    def calculate(
+        self,
+        atoms=None,
+        properties: Sequence[str] = ("energy",),
+        system_changes: Sequence[str] = all_changes,
+    ) -> Dict[str, np.ndarray]:
+        """ASE-protocol calculate: stores standard keys in ``self.results``
+        (all model properties are computed regardless of ``properties``,
+        like the reference :276-287).  Also returns the results dict for
+        the framework's own drivers."""
+        if atoms is None:
+            atoms = self.atoms
         sample = _to_sample(atoms)
         fp = self._fingerprint(sample)
         if fp == self._last_sample_fingerprint and self.results:
             return self.results
+        CalculatorBase.calculate(self, atoms)
         n = len(sample[structure.Z])
         batch = self.converter(sample)
         out = self._apply(self.params, batch)
@@ -196,8 +318,16 @@ class SpkEnsembleCalculator(SpkCalculator):
             lambda p, b: jax.vmap(lambda q: model.apply(q, b))(p)
         )
 
-    def calculate(self, atoms) -> Dict[str, np.ndarray]:
+    def calculate(
+        self,
+        atoms=None,
+        properties: Sequence[str] = ("energy",),
+        system_changes: Sequence[str] = all_changes,
+    ) -> Dict[str, np.ndarray]:
+        if atoms is None:
+            atoms = self.atoms
         sample = _to_sample(atoms)
+        CalculatorBase.calculate(self, atoms)
         n = len(sample[structure.Z])
         batch = self.converter(sample)
         out = self._apply(self.params, batch)  # leaves [E, ...]

@@ -20,9 +20,15 @@
 // 1-based labels (the reference reads the same map from its pair_coeff
 // file, pair_schnetpack.cpp:218).
 //
-// Like the reference, this style evaluates the whole structure on one
-// rank (tags are mapped to a dense global array) — run LAMMPS in serial
-// or with `processors 1 1 1` for now.
+// MPI domain decomposition is supported: each rank ships its LOCAL atoms
+// (global tags) and its local edge list (destination local, source as a
+// global tag + the ghost image's absolute position) as a PARTIAL request;
+// the server gathers all ranks' parts, evaluates the model ONCE on the
+// assembled global structure (exact — a per-rank evaluation would truncate
+// the message-passing receptive field at domain boundaries, since LAMMPS
+// ghosts only extend one cutoff, not n_interactions cutoffs), and returns
+// each rank its local forces, per-atom energies, energy share and a
+// 1/nprocs virial share.  Serial runs use the single-structure protocol.
 //
 // Build: see patch_lammps.sh (copies these sources into lammps/src and
 // adds them to the build; requires the LAMMPS source tree).
@@ -56,11 +62,14 @@ class PairSchnetpackTPU : public Pair {
  protected:
   void allocate();
 
+  void compute_partial(int eflag, int vflag);
+
   double cutoff_;
   spk_tpu::ModelClient *client_;
   std::vector<int32_t> type_to_z_;
   std::vector<int32_t> numbers_;
   std::vector<double> positions_;
+  std::vector<int64_t> tags_;
   std::vector<int64_t> idx_i_, idx_j_;
   std::vector<double> offsets_;
   std::vector<double> e_atom_;
@@ -144,10 +153,6 @@ void PairSchnetpackTPU::coeff(int narg, char **arg) {
 void PairSchnetpackTPU::init_style() {
   if (force->newton_pair)
     error->all(FLERR, "pair schnetpack_tpu requires newton off");
-  if (comm->nprocs > 1)
-    error->all(FLERR,
-               "pair schnetpack_tpu evaluates the whole structure on one "
-               "rank (like the reference pair style); run in serial");
   if (type_to_z_.empty())
     error->all(FLERR, "pair schnetpack_tpu requires a pair_coeff type map");
   neighbor->add_request(this, NeighConst::REQ_FULL);
@@ -157,7 +162,96 @@ void PairSchnetpackTPU::init_style() {
 
 double PairSchnetpackTPU::init_one(int, int) { return cutoff_; }
 
+void PairSchnetpackTPU::compute_partial(int eflag, int vflag) {
+  // MPI path: ship this rank's local atoms + local edges; the server
+  // assembles the global structure and evaluates once (exact result).
+  ev_init(eflag, vflag);
+
+  const int nlocal = atom->nlocal;
+  double **x = atom->x;
+  double **f = atom->f;
+  int *type = atom->type;
+  tagint *tag = atom->tag;
+
+  int inum = list->inum;
+  int *ilist = list->ilist;
+  int *numneigh = list->numneigh;
+  int **firstneigh = list->firstneigh;
+
+  numbers_.resize(nlocal);
+  positions_.resize(3 * nlocal);
+  tags_.resize(nlocal);
+  std::vector<int> order(nlocal);  // local slot -> x/f index
+  idx_i_.clear();
+  idx_j_.clear();
+  offsets_.clear();  // reused as xj_abs
+  const double c2 = cutoff_ * cutoff_;
+  for (int ii = 0; ii < inum; ii++) {
+    int i = ilist[ii];
+    order[ii] = i;
+    tags_[ii] = static_cast<int64_t>(tag[i]) - 1;
+    numbers_[ii] = type_to_z_[type[i]];
+    positions_[3 * ii + 0] = x[i][0];
+    positions_[3 * ii + 1] = x[i][1];
+    positions_[3 * ii + 2] = x[i][2];
+    int jnum = numneigh[i];
+    int *jlist = firstneigh[i];
+    for (int jj = 0; jj < jnum; jj++) {
+      int j = jlist[jj];
+      j &= NEIGHMASK;
+      double dx = x[i][0] - x[j][0];
+      double dy = x[i][1] - x[j][1];
+      double dz = x[i][2] - x[j][2];
+      if (dx * dx + dy * dy + dz * dz >= c2) continue;
+      idx_i_.push_back(static_cast<int64_t>(tag[i]) - 1);
+      idx_j_.push_back(static_cast<int64_t>(tag[j]) - 1);
+      offsets_.push_back(x[j][0]);
+      offsets_.push_back(x[j][1]);
+      offsets_.push_back(x[j][2]);
+    }
+  }
+
+  double cell[9] = {0, 0, 0, 0, 0, 0, 0, 0, 0};
+  cell[0] = domain->boxhi[0] - domain->boxlo[0];
+  cell[3] = domain->xy;
+  cell[4] = domain->boxhi[1] - domain->boxlo[1];
+  cell[6] = domain->xz;
+  cell[7] = domain->yz;
+  cell[8] = domain->boxhi[2] - domain->boxlo[2];
+
+  double energy_share = 0.0;
+  double virial9[9];
+  if (!client_->evaluate_partial(
+          comm->me, comm->nprocs, static_cast<int64_t>(atom->natoms),
+          nlocal, static_cast<int64_t>(idx_i_.size()), tags_.data(),
+          numbers_.data(), positions_.data(), cell, idx_i_.data(),
+          idx_j_.data(), offsets_.data(), &energy_share, &e_atom_,
+          &forces_, virial9))
+    error->one(FLERR, "schnetpack_tpu model server evaluation failed");
+
+  for (int ii = 0; ii < nlocal; ii++) {
+    int i = order[ii];
+    f[i][0] += forces_[3 * ii + 0];
+    f[i][1] += forces_[3 * ii + 1];
+    f[i][2] += forces_[3 * ii + 2];
+    if (eflag_atom) eatom[i] += e_atom_[ii];
+  }
+  if (eflag_global) eng_vdwl += energy_share;
+  if (vflag_global) {
+    virial[0] += virial9[0];
+    virial[1] += virial9[4];
+    virial[2] += virial9[8];
+    virial[3] += 0.5 * (virial9[1] + virial9[3]);
+    virial[4] += 0.5 * (virial9[2] + virial9[6]);
+    virial[5] += 0.5 * (virial9[5] + virial9[7]);
+  }
+}
+
 void PairSchnetpackTPU::compute(int eflag, int vflag) {
+  if (comm->nprocs > 1) {
+    compute_partial(eflag, vflag);
+    return;
+  }
   ev_init(eflag, vflag);
 
   const int nlocal = atom->nlocal;

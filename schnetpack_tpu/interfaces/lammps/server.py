@@ -26,18 +26,61 @@ Wire format (little-endian):
   response: int64 n_atoms, float64 energy,
             float64 e_atom[n], float64 F[n*3], float64 W[9]
   shutdown: n_atoms == -1
+
+Multi-rank (MPI domain decomposition — replaces the reference's per-rank
+TorchScript evaluation, pair_schnetpack.cpp:346-352): each LAMMPS rank
+sends a PARTIAL request carrying its local atoms (with global 0-based
+tags) and its local edge list (destination local to the rank; source as a
+global tag plus the ghost's absolute image position).  The server gathers
+all nprocs parts of a step, assembles the global structure (the union of
+per-rank edge lists is exactly the full directed edge list: every
+destination atom is local to one rank), evaluates the model ONCE — so the
+result is exact, with no message-passing locality error at domain
+boundaries — and replies to each rank with its local forces, per-atom
+energies, its energy share, and a 1/nprocs virial share (LAMMPS sums
+energy/virial over ranks).
+
+  partial request: int64 -2, int64 rank, int64 nprocs, int64 n_global,
+            int64 n_local, int64 n_edges,
+            int64 tags[n_local], int32 Z[n_local], float64 R[n_local*3],
+            float64 cell[9], int64 idx_i[e], int64 idx_j[e]  (global tags),
+            float64 xj_abs[e*3]   (neighbor image's absolute position)
+  partial response: int64 n_local, float64 energy_share,
+            float64 e_atom[n_local], float64 F[n_local*3], float64 W[9]
 """
 from __future__ import annotations
 
 import os
 import socket
 import struct
-from typing import Optional
+import threading
+from typing import Dict, Optional
 
 import numpy as np
 
 from ... import properties as P
 from ...data.loader import round_up
+
+
+class _StepAssembly:
+    """Rendezvous for one simulation step's nprocs partial requests."""
+
+    def __init__(self, nprocs: int):
+        self.nprocs = nprocs
+        self.parts: Dict[int, dict] = {}
+        self.result = None
+        self.cond = threading.Condition()
+
+    def add_and_wait(self, rank: int, part: dict, evaluate):
+        with self.cond:
+            self.parts[rank] = part
+            if len(self.parts) == self.nprocs:
+                self.result = evaluate(self.parts)
+                self.cond.notify_all()
+            else:
+                self.cond.wait_for(lambda: self.result is not None,
+                                   timeout=600.0)
+            return self.result
 
 
 class LammpsModelServer:
@@ -136,48 +179,130 @@ class LammpsModelServer:
                 np.asarray(W, np.float64))
 
     # ------------------------------------------------------------------
+    def _evaluate_global(self, parts: Dict[int, dict]):
+        """Assemble the nprocs partial structures, evaluate once, split
+        the reply per rank."""
+        any_part = next(iter(parts.values()))
+        n_global = any_part["n_global"]
+        Z = np.zeros(n_global, np.int32)
+        R = np.zeros((n_global, 3), np.float64)
+        for p in parts.values():
+            Z[p["tags"]] = p["Z"]
+            R[p["tags"]] = p["R"]
+        ii = np.concatenate([p["idx_i"] for p in parts.values()])
+        jj = np.concatenate([p["idx_j"] for p in parts.values()])
+        # per-edge image offset from the neighbor's ABSOLUTE ghost
+        # position (only the server knows the owning rank's wrapped
+        # position of a remote neighbor)
+        xj = np.concatenate([p["xj_abs"] for p in parts.values()])
+        off = xj.reshape(-1, 3) - R[jj]
+        E, e_atom, F, W = self.evaluate(Z, R, any_part["cell"], ii, jj, off)
+        out = {}
+        for rank, p in parts.items():
+            t = p["tags"]
+            e_loc = e_atom[t]
+            out[rank] = (float(e_loc.sum()), e_loc, F[t], W / len(parts))
+        return out
+
+    def _get_assembly(self, nprocs: int) -> _StepAssembly:
+        with self._alock:
+            if self._assembly is None or self._assembly.result is not None:
+                self._assembly = _StepAssembly(nprocs)
+            return self._assembly
+
+    # ------------------------------------------------------------------
     def serve_forever(self, max_requests: Optional[int] = None):
         if os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
         srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
         srv.bind(self.socket_path)
-        srv.listen(8)
-        served = 0
+        srv.listen(16)
+        srv.settimeout(0.25)
+        self._alock = threading.Lock()
+        self._assembly = None
+        self._served = 0
+        self._stop = threading.Event()
+        threads = []
         try:
-            while max_requests is None or served < max_requests:
-                conn, _ = srv.accept()
+            while not self._stop.is_set() and (
+                max_requests is None or self._served < max_requests
+            ):
                 try:
-                    while True:
-                        header = _recv_exact(conn, 16)
-                        if header is None:
-                            break
-                        n, e = struct.unpack("<qq", header)
-                        if n < 0:
-                            return
-                        Z = np.frombuffer(_recv_exact(conn, 4 * n), "<i4")
-                        R = np.frombuffer(
-                            _recv_exact(conn, 24 * n), "<f8").reshape(n, 3)
-                        cell = np.frombuffer(
-                            _recv_exact(conn, 72), "<f8").reshape(3, 3)
-                        ii = np.frombuffer(_recv_exact(conn, 8 * e), "<i8")
-                        jj = np.frombuffer(_recv_exact(conn, 8 * e), "<i8")
-                        off = np.frombuffer(
-                            _recv_exact(conn, 24 * e), "<f8").reshape(e, 3)
-                        E, e_atom, F, W = self.evaluate(Z, R, cell, ii, jj, off)
-                        conn.sendall(struct.pack("<q", n))
-                        conn.sendall(struct.pack("<d", E))
-                        conn.sendall(e_atom.astype("<f8").tobytes())
-                        conn.sendall(F.astype("<f8").tobytes())
-                        conn.sendall(W.astype("<f8").tobytes())
-                        served += 1
-                        if max_requests is not None and served >= max_requests:
-                            break
-                finally:
-                    conn.close()
+                    conn, _ = srv.accept()
+                except socket.timeout:
+                    continue
+                t = threading.Thread(
+                    target=self._handle_conn, args=(conn, max_requests),
+                    daemon=True,
+                )
+                t.start()
+                threads.append(t)
+            for t in threads:
+                t.join(timeout=60.0)
         finally:
             srv.close()
             if os.path.exists(self.socket_path):
                 os.unlink(self.socket_path)
+
+    def _handle_conn(self, conn: socket.socket, max_requests: Optional[int]):
+        try:
+            while not self._stop.is_set():
+                header = _recv_exact(conn, 16)
+                if header is None:
+                    break
+                n, e = struct.unpack("<qq", header)
+                if n == -1:
+                    self._stop.set()
+                    break
+                if n == -2:
+                    # partial (multi-rank) request; header's second field
+                    # is the rank, the rest follows
+                    self._handle_partial(conn, rank=e)
+                else:
+                    self._handle_single(conn, n, e)
+                self._served += 1
+                if max_requests is not None and self._served >= max_requests:
+                    self._stop.set()
+                    break
+        finally:
+            conn.close()
+
+    def _handle_single(self, conn, n, e):
+        Z = np.frombuffer(_recv_exact(conn, 4 * n), "<i4")
+        R = np.frombuffer(_recv_exact(conn, 24 * n), "<f8").reshape(n, 3)
+        cell = np.frombuffer(_recv_exact(conn, 72), "<f8").reshape(3, 3)
+        ii = np.frombuffer(_recv_exact(conn, 8 * e), "<i8")
+        jj = np.frombuffer(_recv_exact(conn, 8 * e), "<i8")
+        off = np.frombuffer(_recv_exact(conn, 24 * e), "<f8").reshape(e, 3)
+        E, e_atom, F, W = self.evaluate(Z, R, cell, ii, jj, off)
+        conn.sendall(struct.pack("<q", n))
+        conn.sendall(struct.pack("<d", E))
+        conn.sendall(e_atom.astype("<f8").tobytes())
+        conn.sendall(F.astype("<f8").tobytes())
+        conn.sendall(W.astype("<f8").tobytes())
+
+    def _handle_partial(self, conn, rank: int):
+        nprocs, n_global, n, e = struct.unpack("<qqqq", _recv_exact(conn, 32))
+        part = {
+            "n_global": n_global,
+            "tags": np.frombuffer(_recv_exact(conn, 8 * n), "<i8"),
+            "Z": np.frombuffer(_recv_exact(conn, 4 * n), "<i4"),
+            "R": np.frombuffer(_recv_exact(conn, 24 * n), "<f8").reshape(n, 3),
+            "cell": np.frombuffer(_recv_exact(conn, 72), "<f8").reshape(3, 3),
+            "idx_i": np.frombuffer(_recv_exact(conn, 8 * e), "<i8"),
+            "idx_j": np.frombuffer(_recv_exact(conn, 8 * e), "<i8"),
+            "xj_abs": np.frombuffer(_recv_exact(conn, 24 * e), "<f8"),
+        }
+        result = self._get_assembly(nprocs).add_and_wait(
+            rank, part, self._evaluate_global)
+        if result is None:
+            raise RuntimeError("partial-step assembly timed out")
+        e_share, e_atom, F, W = result[rank]
+        conn.sendall(struct.pack("<q", n))
+        conn.sendall(struct.pack("<d", e_share))
+        conn.sendall(e_atom.astype("<f8").tobytes())
+        conn.sendall(F.astype("<f8").tobytes())
+        conn.sendall(W.astype("<f8").tobytes())
 
 
 def _recv_exact(conn: socket.socket, n: int) -> Optional[bytes]:

@@ -87,4 +87,37 @@ bool ModelClient::evaluate(int64_t n_atoms, int64_t n_edges,
   return true;
 }
 
+bool ModelClient::evaluate_partial(
+    int64_t rank, int64_t nprocs, int64_t n_global, int64_t n_local,
+    int64_t n_edges, const int64_t *tags, const int32_t *numbers,
+    const double *positions, const double *cell, const int64_t *idx_i,
+    const int64_t *idx_j, const double *xj_abs, double *energy_share,
+    std::vector<double> *e_atom, std::vector<double> *forces,
+    double *virial9) {
+  if (!connect_server()) return false;
+  // header: sentinel -2 + rank, then the partial block
+  int64_t header[2] = {-2, rank};
+  if (!send_all(header, sizeof(header))) return false;
+  int64_t meta[4] = {nprocs, n_global, n_local, n_edges};
+  if (!send_all(meta, sizeof(meta))) return false;
+  if (!send_all(tags, sizeof(int64_t) * n_local)) return false;
+  if (!send_all(numbers, sizeof(int32_t) * n_local)) return false;
+  if (!send_all(positions, sizeof(double) * 3 * n_local)) return false;
+  if (!send_all(cell, sizeof(double) * 9)) return false;
+  if (!send_all(idx_i, sizeof(int64_t) * n_edges)) return false;
+  if (!send_all(idx_j, sizeof(int64_t) * n_edges)) return false;
+  if (!send_all(xj_abs, sizeof(double) * 3 * n_edges)) return false;
+
+  int64_t n_back = 0;
+  if (!recv_all(&n_back, sizeof(n_back))) return false;
+  if (n_back != n_local) return false;
+  if (!recv_all(energy_share, sizeof(double))) return false;
+  e_atom->resize(n_local);
+  forces->resize(3 * n_local);
+  if (!recv_all(e_atom->data(), sizeof(double) * n_local)) return false;
+  if (!recv_all(forces->data(), sizeof(double) * 3 * n_local)) return false;
+  if (!recv_all(virial9, sizeof(double) * 9)) return false;
+  return true;
+}
+
 }  // namespace spk_tpu

@@ -10,6 +10,7 @@ class Atom {
  public:
   int ntypes;
   int nlocal, nghost;
+  bigint natoms;
   double **x;
   double **f;
   int *type;

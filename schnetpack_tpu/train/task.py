@@ -191,6 +191,8 @@ class AtomisticTask:
             chain.append(optax.clip_by_global_norm(grad_clip))
         if optimizer == "adamw":
             chain.append(optax.adamw(lr_schedule, weight_decay=weight_decay, **args))
+        elif optimizer == "adabelief":
+            chain.append(optax.adabelief(lr_schedule, **args))
         elif optimizer == "adam":
             chain.append(optax.adam(lr_schedule, **args))
         elif optimizer == "sgd":

@@ -210,3 +210,116 @@ def test_pair_style_compiles_against_stub_headers():
             f"pair style failed the LAMMPS-API syntax gate:\n"
             f"{e.stderr.decode()}"
         ) from e
+
+
+# ---------------------------------------------------------------- multi-rank
+def _send_partial(sock_path, rank, nprocs, n_global, tags, Z, R, cell,
+                  idx_i, idx_j, xj_abs, out):
+    """Python-side stub of one LAMMPS MPI rank: speaks the partial wire
+    protocol (mirrors ModelClient::evaluate_partial)."""
+    import socket
+    import struct
+
+    n, e = len(tags), len(idx_i)
+    s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    s.connect(sock_path)
+    s.sendall(struct.pack("<qq", -2, rank))
+    s.sendall(struct.pack("<qqqq", nprocs, n_global, n, e))
+    s.sendall(np.asarray(tags, "<i8").tobytes())
+    s.sendall(np.asarray(Z, "<i4").tobytes())
+    s.sendall(np.asarray(R, "<f8").tobytes())
+    s.sendall(np.asarray(cell, "<f8").tobytes())
+    s.sendall(np.asarray(idx_i, "<i8").tobytes())
+    s.sendall(np.asarray(idx_j, "<i8").tobytes())
+    s.sendall(np.asarray(xj_abs, "<f8").tobytes())
+
+    def recv(nbytes):
+        buf = b""
+        while len(buf) < nbytes:
+            c = s.recv(nbytes - len(buf))
+            assert c, "server closed early"
+            buf += c
+        return buf
+
+    import struct as st
+    (n_back,) = st.unpack("<q", recv(8))
+    assert n_back == n
+    (e_share,) = st.unpack("<d", recv(8))
+    e_atom = np.frombuffer(recv(8 * n), "<f8")
+    F = np.frombuffer(recv(24 * n), "<f8").reshape(n, 3)
+    W = np.frombuffer(recv(72), "<f8").reshape(3, 3)
+    s.close()
+    out[rank] = (e_share, e_atom, F, W)
+
+
+def test_multirank_partial_matches_single_domain(tmp_path, periodic_setup):
+    """Two fake LAMMPS MPI ranks (domain-decomposed by x) send partial
+    requests; summed energy/virial and per-rank forces must match a
+    single-domain evaluation (VERDICT r4 #4)."""
+    pot, params, R, cell, types, Z = periodic_setup
+    n = len(R)
+    L = cell[0, 0]
+    sock = str(tmp_path / "spk_mr.sock")
+    _run_server(pot, params, sock, 2)
+
+    # single-domain reference (in-process periodic eval)
+    sample = {P.Z: Z, P.R: R, P.cell: cell, P.pbc: np.ones(3, bool)}
+    sample = NeighborListTransform(CUTOFF)(sample)
+    batch = collate([sample], PaddingSpec(16, 1024, 2))
+    import jax.numpy as jnp
+
+    out_ref = pot.apply(params, {k: jnp.asarray(v) for k, v in batch.items()})
+    e_ref = float(out_ref["energy"][0])
+    f_ref = np.asarray(out_ref["forces"])[:n]
+
+    # fake LAMMPS domains: rank 0 owns x < L/2, rank 1 the rest.  Each
+    # rank lists edges for its LOCAL destinations; neighbors are absolute
+    # image positions (LAMMPS ghost convention).
+    owner = (R[:, 0] >= L / 2).astype(int)
+    shifts = np.array([(i, j, k) for i in (-1, 0, 1) for j in (-1, 0, 1)
+                       for k in (-1, 0, 1)], float)
+    parts = {}
+    for rank in (0, 1):
+        local = np.where(owner == rank)[0]
+        tags, Zl, Rl = local, Z[local], R[local]
+        ii, jj, xj = [], [], []
+        for i in local:
+            for j in range(n):
+                for S in shifts:
+                    img = R[j] + S @ cell
+                    d = np.linalg.norm(R[i] - img)
+                    if 1e-9 < d < CUTOFF:
+                        ii.append(i)
+                        jj.append(j)
+                        xj.append(img)
+        parts[rank] = (tags, Zl, Rl, np.array(ii), np.array(jj),
+                       np.array(xj))
+
+    results = {}
+    threads = [
+        threading.Thread(
+            target=_send_partial,
+            args=(sock, rank, 2, n, parts[rank][0], parts[rank][1],
+                  parts[rank][2], cell, parts[rank][3], parts[rank][4],
+                  parts[rank][5], results),
+        )
+        for rank in (0, 1)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert set(results) == {0, 1}
+
+    e_sum = results[0][0] + results[1][0]
+    assert e_sum == pytest.approx(e_ref, rel=1e-5)
+    # per-rank forces land on the rank's own atoms
+    f_got = np.zeros_like(f_ref)
+    for rank in (0, 1):
+        f_got[parts[rank][0]] = results[rank][2]
+    scale = np.abs(f_ref).max()
+    np.testing.assert_allclose(f_got / scale, f_ref / scale,
+                               rtol=1e-4, atol=1e-4)
+    # per-atom energies sum to the total across ranks
+    ea_sum = results[0][1].sum() + results[1][1].sum()
+    assert ea_sum == pytest.approx(e_ref, rel=1e-5)

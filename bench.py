@@ -69,6 +69,125 @@ def _acquire_device(timeout_s: float = 600.0):
     raise SystemExit(3)
 
 
+def train_bench(chunk: int = 20, n_chunks: int = 4):
+    """TPU training-step benchmark (VERDICT r4 #2): PaiNN-128x3
+    energy+forces on an MD17-aspirin-class batch (100 molecules x 21
+    atoms, flat padded pair lists — the training layout).  Chained
+    ``lax.scan`` over the pure train step (parameter updates give the
+    sequential dependency); min-over-chunks + profiler cross-check, the
+    same methodology as the MD loop.  Reference hot loop:
+    schnetpack training_step -> SchNet/PaiNN message passing + Forces
+    backward (reference task.py:166-185, representation/painn.py:14-67).
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from schnetpack_tpu import properties as P
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.data.loader import PaddingSpec, collate, padding_for
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+    from schnetpack_tpu.train import AtomisticTask, ModelOutput
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    cutoff = 5.0
+    rng = np.random.RandomState(0)
+    n_mol, n_at = 100, 21
+    Z = np.array([6] * 9 + [1] * 8 + [8] * 4)
+    samples = []
+    for _ in range(n_mol):
+        # aspirin-sized blob: ~4.5 A diameter, near-fully connected at 5 A
+        R = rng.randn(n_at, 3) * 1.5
+        s = {P.Z: Z, P.R: R, P.cell: np.zeros((3, 3)),
+             P.pbc: np.zeros(3, bool),
+             P.energy: np.array([float((R ** 2).sum())]),
+             P.forces: (-2.0 * R)}
+        samples.append(NeighborListTransform(cutoff)(s))
+    spec = padding_for(samples)
+    batch = collate(samples, spec)
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=128, n_interactions=3, n_rbf=20,
+                             cutoff=cutoff),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy), Forces()],
+    )
+    task = AtomisticTask(
+        pot,
+        outputs=[
+            ModelOutput(P.energy, loss_fn="mse", loss_weight=0.01),
+            ModelOutput(P.forces, loss_fn="mse", loss_weight=0.99),
+        ],
+        learning_rate=1e-4,
+    )
+    state = task.create_state(jax.random.PRNGKey(0), batch)
+
+    def chained(state):
+        def body(s, _):
+            s2, _m = task._train_step_impl(s, batch)
+            return s2, None
+
+        return jax.lax.scan(body, state, None, length=chunk)[0]
+
+    run = jax.jit(chained, donate_argnums=0)
+    state = jax.block_until_ready(run(state))  # compile + warm
+    dts = []
+    for _ in range(n_chunks):
+        t0 = time.time()
+        state = jax.block_until_ready(run(state))
+        dts.append((time.time() - t0) / chunk)
+    dts.sort()
+
+    device_ms = None
+    try:
+        import glob
+        import gzip
+        import tempfile
+
+        tdir = tempfile.mkdtemp(prefix="bench_train_trace_")
+        with jax.profiler.trace(tdir):
+            state = jax.block_until_ready(run(state))
+        files = sorted(glob.glob(tdir + "/**/*.trace.json.gz", recursive=True))
+        if files:
+            with gzip.open(files[-1], "rt") as f:
+                trace = json.load(f)
+            pids = {
+                ev["pid"]: ev["args"].get("name", "")
+                for ev in trace["traceEvents"]
+                if ev.get("ph") == "M" and ev.get("name") == "process_name"
+            }
+            dev_pids = {p for p, nm in pids.items() if "TPU" in nm}
+            totals = {}
+            for ev in trace["traceEvents"]:
+                if (ev.get("ph") == "X" and ev.get("pid") in dev_pids
+                        and ev.get("name", "").startswith("while")):
+                    totals[ev["name"]] = (
+                        totals.get(ev["name"], 0.0) + ev.get("dur", 0)
+                    )
+            if totals:
+                device_ms = max(totals.values()) / 1e3 / chunk
+    except Exception:
+        pass
+
+    dt = dts[0]
+    return {
+        "what": "PaiNN-128x3 energy+forces train step, batch=100 aspirin-"
+                "class molecules (2100 atoms), flat padded pair lists",
+        "batch_molecules": n_mol,
+        "batch_atoms": int(batch[P.Z].shape[0]),
+        "batch_pairs": int(batch[P.idx_i].shape[0]),
+        "ms_per_step": round(dt * 1e3, 3),
+        "ms_per_step_all_chunks": [round(d * 1e3, 2) for d in dts],
+        "ms_per_step_device_profiler": (
+            round(device_ms, 3) if device_ms else None),
+        "samples_per_sec": round(n_mol / dt, 1),
+        "atom_steps_per_sec": round(n_mol * n_at / dt, 1),
+    }
+
+
 def main():
     import jax
 
@@ -202,6 +321,12 @@ def main():
 
     atom_steps = n_atoms / dt
 
+    # TPU training-step benchmark (second metric in the detail record)
+    try:
+        train_detail = train_bench()
+    except Exception as exc:  # noqa: BLE001 - never break the MD headline
+        train_detail = {"error": repr(exc)}
+
     # secondary: bare force-evaluation throughput (chained scan, K without
     # the MD skin) for the detail record
     import jax.numpy as jnp
@@ -266,6 +391,7 @@ def main():
                     "force_eval_atom_steps_per_sec": round(n_atoms / force_eval_ms * 1e3, 1),
                     "force_eval_gflops": round(flops_per_eval / 1e9, 2),
                     "achieved_tflops_per_sec": round(tflops, 2),
+                    "train": train_detail,
                     "what": "full NVE MD loop (PaiNN-128x3, column-kernel NBL + skin)",
                     "precision": "bf16 features (PIECES=1, production MD mode); "
                                  "geometry exact f32; 0.75% rms force err, "

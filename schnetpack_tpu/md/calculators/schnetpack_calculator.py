@@ -187,6 +187,8 @@ class SchNetPackCalculator(PairwiseMDCalculator):
                     inputs[structure.cell_coff_fm] = (
                         calc_state[structure.cell_coff_fm] * inv
                     )
+                if structure.cell_oh in calc_state:
+                    inputs[structure.cell_oh] = calc_state[structure.cell_oh]
             else:
                 if structure.cell_qidx in calc_state:
                     inputs[structure.cell_qidx] = calc_state[structure.cell_qidx]
@@ -233,6 +235,8 @@ class SchNetPackCalculator(PairwiseMDCalculator):
         for k in (structure.cell_qcol, structure.cell_dcol,
                   structure.cell_emask, structure.cell_ksz):
             base[k] = calc_state[k]
+        if structure.cell_oh in calc_state:
+            base[structure.cell_oh] = calc_state[structure.cell_oh]
         base[structure.cell_coff] = calc_state[structure.cell_coff] * inv
         if structure.cell_coff_fm in calc_state:
             base[structure.cell_coff_fm] = (

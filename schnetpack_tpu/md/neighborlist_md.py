@@ -184,8 +184,14 @@ class CellBlockNeighborListMD:
     def __init__(self, cutoff: float, skin: float = 0.6, k_multiple: int = 2,
                  capacity_headroom: int = 1, layout: str = "column",
                  jitter_fraction: float = 0.5,
-                 bucket_headroom: float = 1.0 / 6.0):
+                 bucket_headroom: float = 1.0 / 6.0,
+                 precompute_onehots: Optional[bool] = None):
         self.cutoff = float(cutoff)
+        # precomputed one-hot selection matrices for the message kernels
+        # (static between rebuilds; kb_r5 measured the in-kernel VPU
+        # one-hot build serializing with the MXU dots).  None = auto:
+        # enabled while the tables stay under ~512 MB of HBM.
+        self.precompute_onehots = precompute_onehots
         self.skin = float(skin)
         self.k_multiple = k_multiple
         self.capacity_headroom = capacity_headroom
@@ -408,6 +414,16 @@ class CellBlockNeighborListMD:
         idx_m = np.asarray(jax.device_get(system.idx_m))
         order = layout.order
         dtype = system.positions.dtype
+
+        def _use_preoh_check(n_slots, P):
+            if self.layout_kind != "column":
+                return False
+            if self.precompute_onehots is not None:
+                return bool(self.precompute_onehots)
+            # auto: 3 bf16 tables of [slots, P] under ~512 MB of HBM
+            return 3 * n_slots * P * 2 <= 512 * 1024 * 1024
+
+        self._use_preoh = _use_preoh_check
         if self.layout_kind == "column":
             nbl_state = {
                 structure.cell_qcol: jnp.asarray(layout.qcol),
@@ -421,6 +437,14 @@ class CellBlockNeighborListMD:
                     jnp.zeros((k,), jnp.int8) for k in layout.ksizes
                 ),
             }
+            if self._use_preoh(layout.qcol.size, layout.dims[2]):
+                from ..ops.colblock import build_onehots
+
+                nbl_state[structure.cell_oh] = build_onehots(
+                    nbl_state[structure.cell_qcol],
+                    nbl_state[structure.cell_dcol],
+                    layout.dims[2], tuple(layout.dims[3]),
+                )
         else:
             nbl_state = {
                 structure.cell_qidx: jnp.asarray(layout.qidx),
@@ -546,12 +570,19 @@ class CellBlockNeighborListMD:
                 "cell_atom_mask": new["atom_mask"].astype(dtype),
                 "nbl_build_R": jnp.asarray(system.positions, dtype),
             }
+            if structure.cell_oh in cs:
+                from ..ops.colblock import build_onehots
+
+                upd[structure.cell_oh] = build_onehots(
+                    new["qcol"], new["dcol"], info["P"],
+                    tuple(info["ks"]))
             out = dict(cs)
             for k, v in upd.items():
                 # overflow: keep the previous (still-valid-shape) state;
                 # nbl_build_R stays old so the trigger re-fires, and the
                 # latch makes the host grow capacities at the boundary
-                out[k] = jnp.where(ovf, cs[k], v)
+                out[k] = jax.tree.map(
+                    lambda a, b: jnp.where(ovf, a, b), cs[k], v)
             out["nbl_ovf"] = cs["nbl_ovf"] | ovf
             return out
 
@@ -597,6 +628,11 @@ class CellBlockNeighborListMD:
         st[structure.cell_coff] = new["coff"].astype(dtype)
         st[structure.cell_coff_fm] = new["coff_fm"].astype(dtype)
         st[structure.cell_emask] = new["emask"].astype(dtype)
+        if structure.cell_oh in st:
+            from ..ops.colblock import build_onehots
+
+            st[structure.cell_oh] = build_onehots(
+                new["qcol"], new["dcol"], info["P"], tuple(info["ks"]))
         st["cell_order"] = new["order"]
         st["cell_rank"] = new["rank"]
         st["cell_Z"] = new["Z"]

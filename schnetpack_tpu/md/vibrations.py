@@ -58,9 +58,10 @@ def normal_modes(
     batch = collate([sample], spec)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     out = pot.apply(params, batch)
-    A = spec.n_atoms
-    H = np.asarray(out[P.hessian]).reshape(A * 3, A * 3)
-    H = H[: 3 * n, : 3 * n]
+    # per-molecule block form [M, Amax, 3, Amax, 3]; molecule 0 is ours
+    Hb = np.asarray(out[P.hessian])[0]
+    amax = Hb.shape[0]
+    H = Hb.reshape(amax * 3, amax * 3)[: 3 * n, : 3 * n]
     H = 0.5 * (H + H.T)
 
     m = ATOMIC_MASSES[np.asarray(mol[P.Z])]

@@ -222,9 +222,61 @@ class NeuralNetworkPotential:
             if properties.dipole_moment in spec.response_properties and 2 in grad_map:
                 out[properties.dipole_moment] = -grad_map[2] * mol_mask[:, None]
 
+        # Blocked per-molecule second derivatives (VERDICT r4 #8): the
+        # cross-molecule blocks of d2E/dX2 are structurally zero (neighbor
+        # lists and field couplings are per-molecule), so a slot-s tangent
+        # applied to the s-th atom of EVERY molecule at once yields each
+        # molecule exactly its own column block.  3*Amax HVPs with [A, 3]
+        # tangents replace the dense jacrev: no [A, 3, A, 3] intermediate
+        # exists, and the output is the reference's per-molecule block
+        # form (nn/utils.py:65-126 derivative_from_atomic).
+        def _block_layout():
+            idx_m = inputs[properties.idx_m]
+            n_at = inputs[properties.n_atoms]
+            A = R0.shape[0]
+            seg = jnp.concatenate(
+                [jnp.zeros(1, n_at.dtype), jnp.cumsum(n_at)[:-1]])
+            try:
+                import numpy as _np
+
+                amax = int(_np.max(_np.asarray(n_at) * _np.asarray(mol_mask)))
+            except Exception:  # traced shapes: fall back to the atom count
+                amax = int(A)
+            amax = max(min(amax, int(A)), 1)
+            slots = jnp.arange(amax)
+            mol_atoms = jnp.clip(seg[:, None] + slots[None, :], 0, A - 1)
+            slot_valid = (
+                (slots[None, :] < n_at[:, None])
+                & (mol_mask[:, None] > 0)
+            ).astype(dtype)
+            atom_slot = jnp.arange(A) - seg[idx_m]
+            return amax, mol_atoms, slot_valid, atom_slot
+
+        def _blocked_second_derivative(grad_fn, primal):
+            """[M, Amax, 3, Amax, 3] per-molecule blocks of d(grad_fn)/dX."""
+            amax, mol_atoms, slot_valid, atom_slot = _block_layout()
+            eye3 = jnp.eye(3, dtype=dtype)
+
+            def hvp(sd):
+                tang = jnp.where(
+                    (atom_slot == sd[0])[:, None], eye3[sd[1]][None, :], 0.0
+                ).astype(dtype)
+                return jax.jvp(grad_fn, (primal,), (tang,))[1]  # [A, 3]
+
+            sd = jnp.stack(
+                jnp.meshgrid(jnp.arange(amax), jnp.arange(3), indexing="ij"),
+                -1,
+            ).reshape(-1, 2)
+            rows = jax.vmap(hvp)(sd).reshape(amax, 3, R0.shape[0], 3)
+            blocks = rows[:, :, mol_atoms, :]      # [s, d, M, p, e]
+            blocks = jnp.transpose(blocks, (2, 3, 4, 0, 1))  # [M, p, e, s, d]
+            mask = slot_valid[:, :, None, None, None] \
+                * slot_valid[:, None, None, :, None]
+            return blocks * mask
+
         if properties.hessian in props:
             grad_R = lambda R_: jax.grad(lambda r: closure(r, eps0, F0)[0])(R_)
-            out[properties.hessian] = jax.jacrev(grad_R)(R0)
+            out[properties.hessian] = _blocked_second_derivative(grad_R, R0)
 
         # Scale-aware second derivatives (VERDICT r3 #4): molecules in a
         # batch never couple (neighbor lists and field terms are
@@ -300,11 +352,13 @@ class NeuralNetworkPotential:
             out[properties.shielding] = per_atom * atom_mask[:, None, None]
 
         if properties.nuclear_spin_coupling in props:
-            # J_ab = d2 E / dI_a dI_b -> [A, 3, A, 3]
+            # J_ab = d2 E / dI_a dI_b -> per-molecule [M, Amax, 3, Amax, 3]
+            # blocks (cross-molecule couplings are structurally zero)
             grad_I = lambda I_: jax.grad(
                 lambda Ii: closure(R0, eps0, F0, B0, Ii)[0]
             )(I_)
-            out[properties.nuclear_spin_coupling] = jax.jacrev(grad_I)(I0)
+            out[properties.nuclear_spin_coupling] = (
+                _blocked_second_derivative(grad_I, I0))
 
         do_post = self.do_postprocessing if do_postprocessing is None else do_postprocessing
         if do_post:

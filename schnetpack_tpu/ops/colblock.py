@@ -58,12 +58,27 @@ class ColRefs(NamedTuple):
     #: exchange x-boundary column planes via ppermute (halo exchange) and
     #: qcol/dcol/tables are the LOCAL slabs [nx_loc, ny, ...]
     shard_axis: object = None
+    #: optional precomputed one-hot selection matrices (bf16) — static
+    #: between rebuilds, so building them ONCE and streaming them from HBM
+    #: removes the per-bucket VPU iota/compare/convert chains that were
+    #: measured to serialize with the MXU dots (scripts/kb_r5.py: fwd
+    #: kernel 1.21 -> 0.79 ms/pass).  Layout:
+    #:   (ohj_parts 9x[nx, ny, k_c9, P], ohd_full [nx, ny, Ktot, P],
+    #:    ohd_parts 9x[nx, ny, k_c9, P])
+    oh: object = None
 
     @classmethod
     def from_layout(cls, lay, shard_axis=None) -> "ColRefs":
         nx, ny, P, ksizes = lay.dims
         return cls(jnp.asarray(lay.qcol), jnp.asarray(lay.dcol), P,
                    tuple(ksizes), shard_axis)
+
+    def with_onehots(self) -> "ColRefs":
+        """Attach the precomputed one-hot arrays (no-op when present)."""
+        if self.oh is not None or self.shard_axis is not None:
+            return self
+        return self._replace(oh=build_onehots(
+            self.qcol, self.dcol, self.P, self.ksizes))
 
     @property
     def koffs(self):
@@ -76,6 +91,26 @@ class ColRefs(NamedTuple):
 
 def _c9_of_slot(ksizes) -> np.ndarray:
     return np.repeat(np.arange(9), np.asarray(ksizes))
+
+
+def build_onehots(qcol, dcol, P: int, ksizes):
+    """Precompute the kernels' one-hot selection matrices from the layout
+    indices (one XLA pass per rebuild; -1 pads become zero rows)."""
+    def oh_full(idx):
+        iota = jnp.arange(P, dtype=idx.dtype)
+        return (idx[..., None] == iota).astype(jnp.bfloat16)
+
+    offs, acc = [], 0
+    for k in ksizes:
+        offs.append(acc)
+        acc += k
+    ohj_full = oh_full(qcol)
+    ohd_full = oh_full(dcol)
+    ohj_parts = tuple(
+        ohj_full[:, :, o:o + k] for o, k in zip(offs, ksizes))
+    ohd_parts = tuple(
+        ohd_full[:, :, o:o + k] for o, k in zip(offs, ksizes))
+    return (ohj_parts, ohd_full, ohd_parts)
 
 
 def _decode_j(refs: ColRefs):

@@ -657,7 +657,85 @@ def _geo_specs(ks, B1):
     ]
 
 
-def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces):
+# ---------------------------------------------------------------- preoh
+# Precomputed one-hot selection matrices (ColRefs.oh): the per-bucket VPU
+# iota/compare/convert chains were measured to serialize with the MXU dots
+# (scripts/kb_r5.py: resident fwd 1.21 -> 0.79 ms/pass when the one-hots
+# stream from HBM instead).  The arrays are static between NBL rebuilds.
+
+def _own_oh_specs(ks, P):
+    """Own-column bucket views [1, 1, k_c9, P] (forward: dest-centric)."""
+    return [
+        pl.BlockSpec((1, 1, k, P), lambda i, j: (i, j, 0, 0)) for k in ks
+    ]
+
+
+def _dest_oh_specs(nx, ny, ks, P):
+    """Dest-column bucket views for the source-centric backward."""
+    return [
+        pl.BlockSpec(
+            (1, 1, k, P),
+            functools.partial(
+                lambda i, j, dx, dy: ((i - dx) % nx, (j - dy) % ny, 0, 0),
+                dx=dx, dy=dy,
+            ),
+        )
+        for k, (dx, dy) in zip(ks, COL_OFFSETS)
+    ]
+
+
+def _msg_fm_fwd_res_preoh_kernel(FW_ref, *args, nx, ny, P, F, B1, ks,
+                                 pieces, gpk=False):
+    """Resident-table forward with PRECOMPUTED one-hots (no VPU build)."""
+    ngeo = 1 if gpk else 9
+    geo_refs = args[:ngeo]
+    ohj_refs = args[ngeo:ngeo + 9]
+    ohd_ref = args[ngeo + 9]
+    xcols = args[ngeo + 10:ngeo + 10 + pieces]
+    mucols = args[ngeo + 10 + pieces:ngeo + 10 + 2 * pieces]
+    dq_ref, dmu_ref = args[ngeo + 10 + 2 * pieces:]
+    offs = _koffs(ks)
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    wprec = _w_precision(pieces)
+
+    def _sel(cols, ohj, xi, yj):
+        acc_s = None
+        for p in range(pieces):
+            d = jax.lax.dot_general(
+                ohj, cols[p][xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_s = d if acc_s is None else acc_s + d
+        return acc_s
+
+    msgs = []
+    for c9, (di, dj) in enumerate(COL_OFFSETS):
+        o0, k = offs[c9], ks[c9]
+        xi = jax.lax.rem(i + di + nx, nx)
+        yj = jax.lax.rem(j + dj + ny, ny)
+        ohj = ohj_refs[c9][0, 0]
+        xj = _sel(xcols, ohj, xi, yj)
+        mu_j = _sel(mucols, ohj, xi, yj)
+        geo = (geo_refs[0][0, 0, :, o0:o0 + k] if gpk
+               else geo_refs[c9][0, 0]).T
+        rbf = geo[:, :B1]
+        dirs = geo[:, B1:B1 + 3]
+        msgs.append(_msg_edge(xj, mu_j, rbf, dirs, FW_ref, F, wprec))
+    msg_all = jnp.concatenate(msgs, axis=0)            # [Ktot, 4F]
+    acc = None
+    for piece in _split_f32(msg_all, pieces):
+        d = jax.lax.dot_general(
+            ohd_ref[0, 0], piece, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = d if acc is None else acc + d
+    dq_ref[0, 0] = acc[:, :F]
+    dmu_ref[0, 0] = acc[:, F:]
+
+
+def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces,
+                     oh=None):
     nx, ny, Ktot = qcol.shape
     A, D3 = x.shape
     F = D3 // 3
@@ -669,6 +747,35 @@ def _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks, pieces):
         geo = (geo,)
     else:
         geo_specs = _geo_specs(ks, B1)
+    if oh is not None and _resident_ok(A * D3 * 4 * pieces):
+        ohj_parts, ohd_full, _ = oh
+        xt = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
+        mt = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
+        dq, dmu = pl.pallas_call(
+            functools.partial(_msg_fm_fwd_res_preoh_kernel, nx=nx, ny=ny,
+                              P=P, F=F, B1=B1, ks=ks, pieces=pieces,
+                              gpk=gpk),
+            grid=(nx, ny),
+            in_specs=[
+                pl.BlockSpec((B1, 3 * F), lambda i, j: (0, 0)),
+            ] + geo_specs + _own_oh_specs(ks, P) + [
+                pl.BlockSpec((1, 1, Ktot, P), lambda i, j: (i, j, 0, 0)),
+            ] + [
+                pl.BlockSpec((nx, ny, P, D3), lambda i, j: (0, 0, 0, 0))
+                for _ in range(2 * pieces)
+            ],
+            out_specs=(
+                pl.BlockSpec((1, 1, P, F), lambda i, j: (i, j, 0, 0)),
+                pl.BlockSpec((1, 1, P, 3 * F), lambda i, j: (i, j, 0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((nx, ny, P, F), x.dtype),
+                jax.ShapeDtypeStruct((nx, ny, P, 3 * F), x.dtype),
+            ),
+            compiler_params=_vmem_params(),
+            interpret=_interp(),
+        )(FW_aug, *geo, *ohj_parts, ohd_full, *xt, *mt)
+        return dq.reshape(A, F), dmu.reshape(A, 3 * F)
     if _resident_ok(A * D3 * 4 * pieces):
         xt = [_cols(p, nx, ny, P) for p in _split_f32(x, pieces)]
         mt = [_cols(p, nx, ny, P) for p in _split_f32(mu, pieces)]
@@ -1462,9 +1569,13 @@ def painn_message_columns_fm_fused_pallas(x, mu, R, geo, FW_aug, coff_fm,
 
 def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
                               cw_ref, *args, nx, ny, P, F, B, ks, rc,
-                              pieces, wgrad=True, gpk=False):
+                              pieces, wgrad=True, gpk=False, preoh=False):
     ngeo = 1 if gpk else 9
     geos = args[:ngeo]                         # dest-cell geo blocks
+    noh = 18 if preoh else 0
+    ohj_refs = args[ngeo:ngeo + 9] if preoh else None
+    ohd_refs = args[ngeo + 9:ngeo + 18] if preoh else None
+    args = args[:ngeo] + args[ngeo + noh:]
     xcols = args[ngeo:ngeo + pieces]           # own x column views
     mucols = args[ngeo + pieces:ngeo + 2 * pieces]  # own mu column views
     outs = args[ngeo + 2 * pieces:]
@@ -1500,10 +1611,14 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
         o0, k = offs[c9], ks[c9]
         xi = jax.lax.rem(i - dx + nx, nx)
         yj = jax.lax.rem(j - dy + ny, ny)
-        qv = q_ref[xi, yj, 0, o0:o0 + k]
-        dv = d_ref[xi, yj, 0, o0:o0 + k]
-        ohj = _oh_vec(qv, P)
-        ohd = _oh_vec(dv, P)
+        if preoh:
+            ohj = ohj_refs[c9][0, 0]
+            ohd = ohd_refs[c9][0, 0]
+        else:
+            qv = q_ref[xi, yj, 0, o0:o0 + k]
+            dv = d_ref[xi, yj, 0, o0:o0 + k]
+            ohj = _oh_vec(qv, P)
+            ohd = _oh_vec(dv, P)
         # packed mode: the WHOLE geo tensor is VMEM-resident; slice the
         # destination cell's bucket (dynamic cell, static edge range)
         geo_blk = (geos[0][xi, yj, :, o0:o0 + k] if gpk
@@ -1620,7 +1735,7 @@ def _msg_fm_bwd_geores_kernel(q_ref, d_ref, FW_ref, gq_ref, gmu_ref,
 
 
 def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
-                            P, ks, rc, pieces, wgrad=True):
+                            P, ks, rc, pieces, wgrad=True, oh=None):
     g_dq, g_dmu = cots
     nx, ny, Ktot = qcol.shape
     A, D3 = x.shape
@@ -1635,6 +1750,14 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
 
     def resident(shape4):
         return pl.BlockSpec(shape4, lambda i, j: (0, 0, 0, 0))
+
+    preoh = oh is not None
+    oh_arrs = ()
+    oh_specs = []
+    if preoh:
+        ohj_parts, _, ohd_parts = oh
+        oh_arrs = tuple(ohj_parts) + tuple(ohd_parts)
+        oh_specs = _dest_oh_specs(nx, ny, ks, P) * 2
 
     if gpk:
         geo_specs = [resident((nx, ny, geo.shape[2], Ktot))]
@@ -1655,7 +1778,7 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
     outs = pl.pallas_call(
         functools.partial(_msg_fm_bwd_geores_kernel, nx=nx, ny=ny, P=P,
                           F=F, B=B, ks=ks, rc=rc, pieces=pieces,
-                          wgrad=wgrad, gpk=gpk),
+                          wgrad=wgrad, gpk=gpk, preoh=preoh),
         grid=(nx, ny),
         in_specs=[
             resident((nx, ny, 1, Ktot)),           # qcol
@@ -1666,7 +1789,7 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
             pl.BlockSpec((B, 2), lambda i, j: (0, 0)),
             # geo blocks carry B1+4 channels (with_d layout: the extra
             # distance channel)
-        ] + geo_specs + [
+        ] + geo_specs + oh_specs + [
             pl.BlockSpec((1, 1, P, D3), lambda i, j: (i, j, 0, 0))
             for _ in range(2 * pieces)
         ],
@@ -1689,7 +1812,7 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
         compiler_params=_vmem_params(),
         interpret=_interp(),
     )(qcol[:, :, None, :], dcol[:, :, None, :], FW_aug, gq5, gmu5, cw,
-      *geo, *xh, *mh)
+      *geo, *oh_arrs, *xh, *mh)
     dx = outs[0]
     dmu = outs[1]
     gRT = outs[2]
@@ -1700,21 +1823,22 @@ def _msg_fm_bwd_geores_call(x, mu, geo, FW_aug, cw, qcol, dcol, cots,
     return dx.reshape(A, D3), dmu.reshape(A, D3), dR, gFW
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
 def _painn_message_fm_geores_p(x, mu, R, geo, FW_aug, coff_fm, cw, qcol,
-                               dcol, P, ks, rc):
+                               dcol, oh, P, ks, rc):
     return _msg_fm_fwd_call(x, mu, geo, FW_aug, qcol, dcol, P, ks,
-                            _cb.PIECES)
+                            _cb.PIECES, oh=oh)
 
 
-def _pmfg_fwd(x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, P, ks, rc):
+def _pmfg_fwd(x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, oh, P, ks,
+              rc):
     out = _painn_message_fm_geores_p(x, mu, R, geo, FW_aug, coff_fm, cw,
-                                     qcol, dcol, P, ks, rc)
-    return out, (x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol)
+                                     qcol, dcol, oh, P, ks, rc)
+    return out, (x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, oh)
 
 
 def _pmfg_bwd(P, ks, rc, res, cots):
-    x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol = res
+    x, mu, R, geo, FW_aug, coff_fm, cw, qcol, dcol, oh = res
     gbytes = (geo.size * geo.dtype.itemsize
               if not isinstance(geo, (tuple, list))
               else sum(g.size * g.dtype.itemsize for g in geo))
@@ -1722,7 +1846,7 @@ def _pmfg_bwd(P, ks, rc, res, cots):
                     2 * qcol.size * 4, gbytes):
         dx, dmu, dR, gFW = _msg_fm_bwd_geores_call(
             x, mu, geo, FW_aug, cw, qcol, dcol, cots, P, ks, rc,
-            _cb.PIECES, wgrad=_cb.WGRAD)
+            _cb.PIECES, wgrad=_cb.WGRAD, oh=oh)
     else:
         # non-resident fallback: unfused message bwd + geometry bwd
         from .colblock_geo import _geo_bwd_call, split_geo
@@ -1734,7 +1858,8 @@ def _pmfg_bwd(P, ks, rc, res, cots):
         dR = _geo_bwd_call(ggeo, R, coff_fm, qcol, dcol, cw, P, ks, rc,
                            False)
     zgeo = jax.tree.map(jnp.zeros_like, geo)
-    return dx, dmu, dR, zgeo, gFW, None, None, None, None
+    zoh = jax.tree.map(jnp.zeros_like, oh) if oh is not None else None
+    return dx, dmu, dR, zgeo, gFW, None, None, None, None, zoh
 
 
 _painn_message_fm_geores_p.defvjp(_pmfg_fwd, _pmfg_bwd)
@@ -1745,10 +1870,12 @@ def painn_message_columns_fm_geores_pallas(x, mu, R, geo, FW_aug, coff_fm,
     """Message forward on precomputed geo, with a backward that derives
     the geometry chain from the STORED geo tensors (no position inputs,
     no geometry recompute) and emits position cotangents directly.  Pass
-    ``geo`` through ``jax.lax.stop_gradient``."""
+    ``geo`` through ``jax.lax.stop_gradient``.  When ``refs.oh`` is set,
+    the kernels read precomputed one-hot selection matrices instead of
+    building them on the VPU (scripts/kb_r5.py: 1.5x faster fwd pass)."""
     return _painn_message_fm_geores_p(x, mu, R, geo, FW_aug, coff_fm, cw,
-                                      refs.qcol, refs.dcol, refs.P,
-                                      refs.ksizes, rc)
+                                      refs.qcol, refs.dcol, refs.oh,
+                                      refs.P, refs.ksizes, rc)
 
 
 # --------------------- fully fused forward (geometry recomputed in-kernel)

@@ -88,6 +88,10 @@ cell_emask: Final[str] = "_cell_emask"
 nbh_cutoff: Final[str] = "_nbh_cutoff"
 #: static bucket-size carrier: tuple of 9 zero arrays, shapes (ksizes[c9],)
 cell_ksz: Final[str] = "_cell_ksz"
+#: precomputed one-hot selection matrices for the column kernels
+#: (ohj_parts 9-tuple, ohd_full, ohd_parts 9-tuple) — static between NBL
+#: rebuilds; see ops/colblock.py build_onehots
+cell_oh: Final[str] = "_cell_oh"
 #: marker (any array): inputs are LOCAL slabs of a shard_map run over the
 #: "cols" mesh axis; column ops then halo-exchange x-boundary planes
 cell_shard: Final[str] = "_cell_shard"

@@ -278,7 +278,7 @@ class PaiNN(nn.Module):
                     else COLS_AXIS
                 )
             col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz,
-                               shard)
+                               shard, inputs.get(properties.cell_oh))
             gauss = (
                 isinstance(radial, GaussianRBF) and not radial.trainable
             )

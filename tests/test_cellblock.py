@@ -4,6 +4,10 @@ The cellblock path (ops/cellblock.py) must reproduce the dense [A, K]
 layout bit-for-bit in structure (same neighbors, same offsets) and to
 selection-matmul precision in values.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

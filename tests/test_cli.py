@@ -1,4 +1,8 @@
 """Config composition + CLI train on a synthetic MD17-format dataset."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 
 import numpy as np

@@ -1,5 +1,9 @@
 """Column-bucketed neighbor layout: layout decode, primitive equivalence,
 fused-message grads, and MD parity vs the dense layout."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -671,5 +675,63 @@ class TestFusedGeometryBackward:
             g1 = np.asarray(grad_R(1))
             assert np.abs(g2 - g3).max() / scale < 5e-3
             assert np.abs(g1 - g3).max() / scale < 5e-2
+        finally:
+            cb.IMPL, cb.PIECES = old_impl, old_pieces
+
+
+class TestPrecomputedOnehots:
+    """ColRefs.oh: precomputed one-hot selection matrices must be
+    bit-equivalent to the in-kernel VPU build (round-5 perf lever,
+    scripts/kb_r5.py: fwd pass 1.21 -> 0.79 ms on v5e)."""
+
+    def test_geores_preoh_matches_vpu_build(self):
+        from schnetpack_tpu.ops import colblock_geo as cg
+        from schnetpack_tpu.ops.colblock import (
+            painn_message_columns_fm_geores,
+        )
+        from schnetpack_tpu.ops.radial import gaussian_rbf_params
+
+        old_impl, old_pieces = cb.IMPL, cb.PIECES
+        cb.IMPL, cb.PIECES = "pallas_interpret", 3
+        try:
+            rng = np.random.RandomState(5)
+            R = rng.uniform(0, 10.0, (90, 3))
+            cell = np.eye(3) * 10.0
+            cutoff = 3.0
+            lay = build_column_layout(R, 3.4, cell, np.ones(3, bool))
+            refs = ColRefs.from_layout(lay)
+            refs_oh = refs.with_onehots()
+            assert refs_oh.oh is not None
+            Ap = len(lay.order)
+            Rs = jnp.asarray(R[lay.order], jnp.float32) * jnp.asarray(
+                lay.slot_mask)[:, None]
+            coff_fm = jnp.asarray(
+                np.moveaxis(lay.offcol, -1, 2), jnp.float32)
+            centers, widths = gaussian_rbf_params(12, cutoff, 0.0)
+            cw = jnp.stack([
+                jnp.asarray(centers, jnp.float32),
+                -0.5 / jnp.square(jnp.asarray(widths, jnp.float32)),
+            ], axis=1)
+            F = 32
+            x0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            mu0 = jnp.asarray(rng.randn(Ap, 3 * F) * 0.3, jnp.float32)
+            FW = jnp.asarray(rng.randn(13, 3 * F) * 0.3, jnp.float32)
+
+            def loss(args, use_refs):
+                x, mu, Rv, fw = args
+                geo = jax.lax.stop_gradient(cg.column_geometry_packed(
+                    Rv, coff_fm, use_refs, centers, widths, cutoff,
+                    with_d=True))
+                dq, dmu = painn_message_columns_fm_geores(
+                    x, mu, Rv, geo, fw, coff_fm, cw, use_refs, cutoff)
+                return jnp.sum(jnp.sin(dq)) + 0.5 * jnp.sum(jnp.cos(dmu))
+
+            args = (x0, mu0, Rs, FW)
+            v1, g1 = jax.value_and_grad(lambda a: loss(a, refs))(args)
+            v2, g2 = jax.value_and_grad(lambda a: loss(a, refs_oh))(args)
+            np.testing.assert_allclose(v1, v2, rtol=0, atol=0)
+            for n, a, b in zip(["x", "mu", "R", "FW"], g1, g2):
+                np.testing.assert_allclose(
+                    a, b, rtol=0, atol=0, err_msg=f"grad {n}")
         finally:
             cb.IMPL, cb.PIECES = old_impl, old_pieces

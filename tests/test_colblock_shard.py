@@ -9,6 +9,10 @@ planes via ppermute.  Checks:
 * the compiled HLO moves data with collective-permute only — no
   all-gather of the feature table (per-device traffic O(A/n + halo)).
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import re
 
 import jax

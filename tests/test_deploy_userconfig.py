@@ -1,4 +1,8 @@
 """spkdeploy round-trip and user-config search path."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 import pickle
 

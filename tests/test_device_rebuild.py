@@ -1,4 +1,8 @@
 """On-device column neighbor-state rebuild vs the host builder."""
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -1,6 +1,10 @@
 """FieldSchNet trained-weight import: elementwise parity vs a pure-torch
 reconstruction of the reference forward (field_schnet.py:19-247,355-438),
 on a synthetic reference-format state dict (random weights)."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 import pickle
 import tempfile

@@ -1,4 +1,8 @@
 """Inference interfaces: calculator, ensemble, batchwise LBFGS, AseInterface."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import numpy as np
 import pytest

@@ -9,6 +9,10 @@ PERIODIC box with LAMMPS type ids != atomic numbers:
 * per-atom energies summing to the total,
 * the virial tensor against a finite-difference strain derivative.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 import subprocess
 import threading

@@ -1,4 +1,8 @@
 """MD engine: NVE conservation, thermostats, RPMD, logging, restart."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 import pickle
 

@@ -1,4 +1,8 @@
 """spkmd CLI end-to-end (LJ argon) + HDF5 analysis + spectra."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 
 import numpy as np

@@ -3,6 +3,10 @@
 Flat (all-pairs) and dense [A, K] layouts must agree for ring-polymer
 replicas, and Ewald electrostatics must run inside the MD loop.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

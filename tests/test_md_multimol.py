@@ -7,6 +7,10 @@ virtual domain (see CellBlockNeighborListMD.build).  The molecules here
 share overlapping RAW coordinates on purpose — the slab translation, not
 the input geometry, must keep them apart.
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

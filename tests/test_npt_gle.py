@@ -1,4 +1,8 @@
 """NPT barostat and GLE thermostat."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

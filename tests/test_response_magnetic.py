@@ -41,12 +41,15 @@ def test_shielding_and_spin_coupling(rng):
     assert np.abs(sigma[:4]).max() > 0
     np.testing.assert_allclose(sigma[4:], 0.0, atol=1e-8)
 
+    # per-molecule block form [M, Amax, 3, Amax, 3] (no [A,3,A,3] dense
+    # cross-molecule tensor is ever built, VERDICT r4 #8)
     J = np.asarray(out[properties.nuclear_spin_coupling])
-    assert J.shape == (16, 3, 16, 3)
+    assert J.shape == (2, 4, 3, 4, 3)
     assert np.isfinite(J).all()
+    np.testing.assert_allclose(J[1], 0.0, atol=1e-8)  # padding molecule
     # coupling tensor is symmetric under (a,i) <-> (b,j)
-    J_perm = np.transpose(J, (2, 3, 0, 1))
-    np.testing.assert_allclose(J, J_perm, rtol=1e-3, atol=1e-6)
+    J_perm = np.transpose(J[0], (2, 3, 0, 1))
+    np.testing.assert_allclose(J[0], J_perm, rtol=1e-3, atol=1e-6)
 
 
 def test_dipole_derivatives_match_fd(rng):

@@ -126,3 +126,58 @@ def test_partial_charges_match_dipole_derivative_trace(rng):
         q_ref[a] = np.trace(dmu_dR[idx_m[a], :, a, :]) / 3.0
     mask = np.asarray(b[P.atom_mask]) if P.atom_mask in b else np.ones(A)
     np.testing.assert_allclose(q, q_ref * mask, rtol=1e-4, atol=1e-7)
+
+
+def test_hessian_blocked_two_molecule_batch(rng):
+    """VERDICT r4 #8: the Hessian comes out in per-molecule block form
+    [M, Amax, 3, Amax, 3] (no dense [A,3,A,3] cross-molecule tensor) and
+    each molecule's block matches the dense jacrev reference computed
+    in-test; cross-molecule entries of that dense reference are zero."""
+    import jax
+    import jax.numpy as jnp
+
+    from schnetpack_tpu import properties as P
+    from schnetpack_tpu.atomistic import (
+        Atomwise, PairwiseDistances, Response,
+    )
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import SchNet
+    from tests.conftest import random_molecule
+
+    with jax.enable_x64():
+        pot = NeuralNetworkPotential(
+            representation=SchNet(n_atom_basis=8, n_interactions=1,
+                                  n_rbf=6, cutoff=5.0),
+            input_modules=[PairwiseDistances()],
+            output_modules=[
+                Atomwise(output_key=P.energy),
+                Response(response_properties=[P.hessian]),
+            ],
+        )
+        mols = [random_molecule(rng, 3), random_molecule(rng, 5)]
+        b = collate(mols, PaddingSpec(16, 128, 3), float_dtype=np.float64)
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        params = pot.init(jax.random.PRNGKey(0), b)
+        out = pot.apply(params, b)
+        Hb = np.asarray(out[P.hessian])
+        # block form: M=3 (2 real + padding), Amax = 5
+        assert Hb.shape == (3, 5, 3, 5, 3)
+        np.testing.assert_allclose(Hb[2], 0.0, atol=1e-12)
+
+        # dense jacrev reference over the whole padded batch
+        def energy(R):
+            bb = dict(b)
+            bb[P.R] = R
+            return pot.apply(params, bb, do_postprocessing=False)[P.energy][:2].sum()
+
+        Hd = np.asarray(jax.jacfwd(jax.grad(energy))(b[P.R]))  # [A,3,A,3]
+        # cross-molecule entries of the dense reference are zero
+        np.testing.assert_allclose(Hd[:3, :, 3:8], 0.0, atol=1e-10)
+        # per-molecule blocks match the dense diagonal blocks
+        np.testing.assert_allclose(Hb[0, :3, :, :3], Hd[:3, :, :3],
+                                   rtol=1e-8, atol=1e-10)
+        np.testing.assert_allclose(Hb[1, :5, :, :5], Hd[3:8, :, 3:8],
+                                   rtol=1e-8, atol=1e-10)
+        # padded slots in the blocks are masked
+        np.testing.assert_allclose(Hb[0, 3:], 0.0, atol=1e-12)

@@ -6,6 +6,10 @@ PIGLET applies a DISTINCT drift/diffusion pair per ring-polymer normal mode
 (ref :299-372); NHCRingPolymerThermostat uses NM-frequency thermostat
 masses and a global centroid-chain option (ref :373-501).
 """
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import jax.numpy as jnp
 import numpy as np

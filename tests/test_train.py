@@ -1,4 +1,8 @@
 """End-to-end training smoke test: overfit a tiny synthetic dataset."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import os
 
 import jax

@@ -1,4 +1,8 @@
 """Training-layer extras: constraints, unsupervised outputs, sampler, metrics."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax.numpy as jnp
 import numpy as np
 import pytest

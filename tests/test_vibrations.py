@@ -1,4 +1,8 @@
 """Analytic-Hessian normal modes vs finite-difference normal modes."""
+import pytest
+
+pytestmark = pytest.mark.slow  # heavy: excluded from the smoke tier
+
 import jax
 import numpy as np
 import pytest

@@ -1,6 +1,7 @@
 from .base import MDCalculator, PairwiseMDCalculator
 from .lj import LJCalculator
 from .orca import OrcaCalculator
+from .spcfw import SPCFwCalculator
 from .schnetpack_calculator import (
     EnsembleCalculator,
     SchNetPackCalculator,
@@ -8,6 +9,6 @@ from .schnetpack_calculator import (
 )
 
 __all__ = [
-    "MDCalculator", "PairwiseMDCalculator", "LJCalculator",
+    "MDCalculator", "PairwiseMDCalculator", "LJCalculator", "SPCFwCalculator",
     "EnsembleCalculator", "OrcaCalculator", "SchNetPackCalculator", "stack_ensemble_params",
 ]

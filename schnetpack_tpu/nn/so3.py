@@ -61,6 +61,7 @@ class SO3Convolution(nn.Module):
         nbh_idx: jax.Array = None,
         nbh_rev: jax.Array = None,
         nbh_mask: jax.Array = None,
+        col_refs=None,
     ) -> jax.Array:
         A = x.shape[0]
         F = self.n_atom_basis
@@ -76,6 +77,18 @@ class SO3Convolution(nn.Module):
         Wl = Wl.reshape(Wl.shape[:-1] + (self.lmax + 1, F)) * cutoff_ij[..., None, None]
         deg = jnp.asarray(so3_ops.degree_index(self.lmax))
         WY = jnp.take(Wl, deg, axis=-2) * ylm[..., None]  # [.., n_lm, F]
+
+        if col_refs is not None:
+            # column layout: one-hot MXU gather/fold over the flattened
+            # [A, n_lm*F] table; CG contraction stays per-edge XLA
+            from ..ops.colblock import column_fold, column_gather
+
+            nx, ny, Ktot = WY.shape[:3]
+            xj = column_gather(x.reshape(A, n_lm * F), col_refs)
+            xj = xj.reshape(nx, ny, Ktot, n_lm, F)
+            msg = jnp.einsum("pqr,xykpf,xykqf->xykrf", cg, WY, xj)
+            out = column_fold(msg.reshape(nx, ny, Ktot, n_lm * F), col_refs)
+            return out.reshape(A, n_lm, F)
 
         if nbh_idx is not None:
             from ..ops.neighbor_gather import neighbor_gather

@@ -48,7 +48,26 @@ class SO3net(nn.Module):
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
 
-        if dense:
+        col_refs = None
+        if properties.cell_qcol in inputs:
+            # column-bucketed layout (TPU fast path, VERDICT r4 #5): the
+            # gather/fold of the SO(3) features run as the generic one-hot
+            # MXU selection kernels over [nx, ny, Ktot] edge space; the
+            # per-edge Ylm/CG algebra stays XLA elementwise.
+            from ..ops.colblock import ColRefs
+
+            qc = inputs[properties.cell_qcol]
+            ksz = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
+            Pc = inputs[properties.R].shape[0] // (qc.shape[0] * qc.shape[1])
+            col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz,
+                               None, inputs.get(properties.cell_oh))
+            Rij = inputs[properties.col_rij]        # [nx, ny, Ktot, 3]
+            emask = inputs[properties.cell_emask]
+            idx_i = idx_j = nbh_idx = nbh_rev = nbh_mask = None
+            d_ij = safe_norm(Rij, axis=-1)
+            dir_ij = Rij / d_ij[..., None]
+            cutoff_ij = cutoff_fn(d_ij) * emask
+        elif dense:
             Rij = inputs[properties.nbh_rij]
             nbh_idx = inputs[properties.nbh_idx]
             nbh_rev = inputs.get(properties.nbh_rev)
@@ -90,7 +109,7 @@ class SO3net(nn.Module):
         # gate -> mix3 -> residual
         for t in range(self.n_interactions):
             dx = conv[t](x, radial_ij, dir_ij, cutoff_ij, idx_i, idx_j,
-                         nbh_idx, nbh_rev, nbh_mask)
+                         nbh_idx, nbh_rev, nbh_mask, col_refs=col_refs)
             ddx = mix1[t](dx)
             dx = dx + tp[t](dx, ddx)
             dx = mix2[t](dx)

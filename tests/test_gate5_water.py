@@ -77,10 +77,11 @@ def test_gate5_nvt_water_nhc(tmp_path):
     assert 180.0 < T_mean < 420.0, f"NVT mean T {T_mean}"
 
     # structural integrity: no OH dissociation at the end of the run
+    from schnetpack_tpu import properties as P
     from schnetpack_tpu.md.data import HDF5Loader
 
     data = HDF5Loader(os.path.join(sim_dir, "simulation.hdf5"))
-    R_last = np.asarray(data.get_positions())[-1]
+    R_last = np.asarray(data.convert_to_atoms(-1)[P.R])
     for w in range(len(R_last) // 3):
         O, H1, H2 = R_last[3 * w], R_last[3 * w + 1], R_last[3 * w + 2]
         for H in (H1, H2):
@@ -107,7 +108,9 @@ def test_gate5_pimd_16_beads(tmp_path):
         "system.initializer.temperature=300.0",
     ])
     assert os.path.exists(os.path.join(sim_dir, "simulation.hdf5"))
-    # PIMD: the PILE thermostat drives every normal mode to the bath;
-    # the bead-kinetic temperature must sit near 300 K after warmup
+    # PIMD: the PILE thermostat drives every normal mode to the bath.
+    # Ring-polymer convention (cf. test_rpmd_thermostats): the logged
+    # bead-kinetic temperature equilibrates to n_beads * T_bath.
     T_mean = _mean_temperature(str(sim_dir))
-    assert 180.0 < T_mean < 450.0, f"PIMD mean T {T_mean}"
+    assert 0.5 * 16 * 300.0 < T_mean < 1.7 * 16 * 300.0, \
+        f"PIMD bead-kinetic mean T {T_mean}"

@@ -68,13 +68,24 @@ class DipoleUpdate(nn.Module):
     external_fields: Sequence[str]
 
     @nn.compact
-    def __call__(self, q, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=None):
+    def __call__(self, q, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=None,
+                 col_refs=None):
         A = q.shape[0]
         out = {}
         for f in self.external_fields:
             qi = Dense(self.n_atom_basis, use_bias=False,
                        name=f"transform_{_tag(f)}")(q)
-            if nbh_idx is not None:
+            if col_refs is not None:
+                # column layout: one-hot MXU gather/fold (VERDICT r4 #5)
+                from ..ops.colblock import column_fold, column_gather
+
+                qj = column_gather(qi, col_refs)       # [nx, ny, K, F]
+                dmu_ij = (qj * rcut_ij[..., None])[..., None, :] * \
+                    v_ij[..., None]                    # [nx, ny, K, 3, F]
+                dmu_i = column_fold(
+                    dmu_ij.reshape(*v_ij.shape[:3], -1), col_refs
+                ).reshape(A, 3, -1)
+            elif nbh_idx is not None:
                 qj = jnp.take(qi, nbh_idx, axis=0)             # [A, K, F]
                 dmu_ij = (qj * rcut_ij[..., None])[:, :, None, :] * \
                     v_ij[..., None]                            # [A, K, 3, F]
@@ -98,7 +109,7 @@ class DipoleInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, mu, f_ij, d_ij, v_ij, rcut_ij, idx_i, idx_j,
-                 nbh_idx=None):
+                 nbh_idx=None, col_refs=None):
         A = mu[self.external_fields[0]].shape[0]
         dq = 0.0
         for f in self.external_fields:
@@ -113,7 +124,22 @@ class DipoleInteraction(nn.Module):
             # clamp: padded dense-layout slots sit at d ~ sqrt(eps); 1/d^5
             # would overflow there before the rcut mask zeroes the term
             d5 = jnp.maximum(d_ij, 1e-2) ** 5
-            if nbh_idx is not None:
+            if col_refs is not None:
+                from ..ops.colblock import column_fold, column_gather
+
+                F_ = mu[f].shape[-1]
+                mu_ij = column_gather(
+                    mu[f].reshape(A, -1), col_refs
+                ).reshape(*d_ij.shape, 3, F_)          # [nx, ny, K, 3, F]
+                proj = jnp.sum(v_ij[..., None] * mu_ij, axis=-2,
+                               keepdims=True)          # [nx, ny, K, 1, F]
+                tensor = (mu_ij * (d_ij ** 2)[..., None, None]
+                          - 3.0 * v_ij[..., None] * proj)
+                tensor = tensor * W[..., None, :] / d5[..., None, None]
+                tensor_i = column_fold(
+                    tensor.reshape(*d_ij.shape, -1), col_refs
+                ).reshape(A, 3, F_)
+            elif nbh_idx is not None:
                 mu_ij = jnp.take(mu[f], nbh_idx, axis=0)       # [A, K, 3, F]
                 proj = jnp.sum(v_ij[..., None] * mu_ij, axis=2,
                                keepdims=True)                  # [A, K, 1, F]
@@ -183,7 +209,23 @@ class FieldSchNet(nn.Module):
         radial = self.radial_basis or GaussianRBF(n_rbf=self.n_rbf, cutoff=self.cutoff)
         cutoff_fn = self.cutoff_fn or CosineCutoff(cutoff=self.cutoff)
         nbh_idx = None
-        if properties.nbh_rij in inputs and idx_i.shape[0] <= 1:
+        col_refs = None
+        if properties.cell_qcol in inputs:
+            # column-bucketed layout (TPU fast path, VERDICT r4 #5)
+            from ..ops.colblock import ColRefs
+
+            qc = inputs[properties.cell_qcol]
+            ksz = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
+            Pc = inputs[properties.R].shape[0] // (qc.shape[0] * qc.shape[1])
+            col_refs = ColRefs(qc, inputs[properties.cell_dcol], Pc, ksz,
+                               None, inputs.get(properties.cell_oh))
+            Rij = inputs[properties.col_rij]          # [nx, ny, Ktot, 3]
+            emask = inputs[properties.cell_emask]
+            d_ij = safe_norm(Rij, axis=-1)
+            f_ij = radial(d_ij)
+            rcut_ij = cutoff_fn(d_ij) * emask
+            idx_i = idx_j = None
+        elif properties.nbh_rij in inputs and idx_i.shape[0] <= 1:
             # dense [A, K] MD layout (the flat list carries no real pairs)
             Rij = inputs[properties.nbh_rij]
             nbh_idx = inputs[properties.nbh_idx]
@@ -213,7 +255,8 @@ class FieldSchNet(nn.Module):
 
         # first dipole update from the embeddings (reference :403)
         mu = DipoleUpdate(F, tuple(fields), name="initial_dipole_update")(
-            q, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx)
+            q, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx,
+            col_refs=col_refs)
 
         if (
             properties.magnetic_field in fields
@@ -227,17 +270,20 @@ class FieldSchNet(nn.Module):
 
         for t in range(self.n_interactions):
             dq = SchNetInteraction(F, F, self.activation, name=f"interaction_{t}")(
-                q, f_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx
+                q, f_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx,
+                col_refs=col_refs,
             )
             dq = dq + FieldInteraction(
                 F, tuple(fields), self.activation, name=f"field_inter_{t}"
             )(mu, field_atoms)
             dq = dq + DipoleInteraction(
                 F, tuple(fields), self.activation, name=f"dipole_inter_{t}"
-            )(mu, f_ij, d_ij, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx)
+            )(mu, f_ij, d_ij, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx,
+              col_refs=col_refs)
             q = q + dq
             mu = DipoleUpdate(F, tuple(fields), name=f"dipole_update_{t}")(
-                dq, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx)
+                dq, mu, v_ij, rcut_ij, idx_i, idx_j, nbh_idx=nbh_idx,
+                col_refs=col_refs)
 
         inputs[properties.scalar_representation] = q
         return inputs

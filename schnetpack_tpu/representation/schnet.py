@@ -45,7 +45,7 @@ class SchNetInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, x, f_ij, rcut_ij, idx_i=None, idx_j=None, nbh_idx=None,
-                 nbh_rev=None, nbh_mask=None, fused_ctx=None):
+                 nbh_rev=None, nbh_mask=None, fused_ctx=None, col_refs=None):
         A = x.shape[0]
         # the filter Dense layers are declared without the fused activation
         # (applied explicitly below — same math, same param tree) so the
@@ -74,14 +74,22 @@ class SchNetInteraction(nn.Module):
 
             h = in2f(x)
             agg = self._aggregate(h, W, idx_i, idx_j, nbh_idx, nbh_rev,
-                                  nbh_mask, A)
+                                  nbh_mask, A, col_refs)
 
         v = Dense(self.n_atom_basis, activation=self.activation, name="f2out_0")(agg)
         v = Dense(self.n_atom_basis, name="f2out_1")(v)
         return v
 
     @staticmethod
-    def _aggregate(h, W, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask, A):
+    def _aggregate(h, W, idx_i, idx_j, nbh_idx, nbh_rev, nbh_mask, A,
+                   col_refs=None):
+        if col_refs is not None:
+            # generic column-layout path (FieldSchNet etc.): one-hot MXU
+            # gather/fold; W is [nx, ny, Ktot, F]
+            from ..ops.colblock import column_fold, column_gather
+
+            hj = column_gather(h, col_refs)
+            return column_fold(hj * W, col_refs)
         if nbh_idx is not None:
             if nbh_rev is not None:
                 hj = neighbor_gather(h, nbh_idx, nbh_rev, nbh_mask)

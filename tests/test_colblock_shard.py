@@ -281,3 +281,70 @@ def test_sharded_2d_md_chunk_matches_unsharded():
         p_r = p1 + 0.5 * 0.05 * f_r
     err = np.abs(np.asarray(Rn).reshape(-1, 3) - R_r).max()
     assert err < 1e-4, f"2-D sharded MD diverged: {err}"
+
+
+class TestSpatialColumnSimulator:
+    """Production sharded MD driver (VERDICT r4 #3): host re-bin at chunk
+    boundaries, sharded NVT chunks, thermostat noise independent of the
+    mesh layout — an 8-device run must reproduce the 1-device run across
+    REBUILD boundaries (atoms migrate columns/slabs between chunks)."""
+
+    def test_nvt_trajectory_crosses_rebuilds_and_matches_unsharded(self):
+        from schnetpack_tpu.parallel.columns import (
+            SpatialColumnSimulator, make_column_mesh,
+        )
+
+        # column edge must exceed cutoff+skin (9-column stencil) AND nx
+        # must divide by the device count: 8 slabs of 5 A in a 40 A box
+        cutoff, L = 4.0, 40.0
+        rng = np.random.RandomState(7)
+        n = 600
+        R = rng.uniform(0, L, size=(n, 3))
+        Z = np.full(n, 18, np.int64)
+        masses = np.full(n, 39.9)
+        cell = np.eye(3) * L
+        pot, params = _model(cutoff)
+
+        def run(n_dev):
+            mesh = make_column_mesh(n_dev)
+            sim = SpatialColumnSimulator(
+                pot, params, R, Z, masses, cell, mesh, cutoff=cutoff,
+                skin=0.5, dims=(8, 8, 1), dt=0.4, kT=0.03, gamma=0.05,
+                seed=11,
+            )
+            # 3 chunks -> 2 rebuild boundaries crossed mid-trajectory
+            sim.simulate(18, chunk_size=6)
+            return sim
+
+        sim1 = run(1)
+        sim8 = run(8)
+        assert sim1.rebuilds == sim8.rebuilds == 3
+        # atoms actually moved (thermostat is live)
+        assert np.abs(sim1.R - R).max() > 1e-3
+        np.testing.assert_allclose(sim8.R, sim1.R, rtol=2e-4, atol=2e-4)
+        np.testing.assert_allclose(sim8.p, sim1.p, rtol=2e-4, atol=2e-4)
+        assert np.isfinite(sim8.R).all() and np.isfinite(sim8.p).all()
+
+    def test_nve_energy_sane_across_rebuilds(self):
+        from schnetpack_tpu.parallel.columns import (
+            SpatialColumnSimulator, make_column_mesh,
+        )
+
+        cutoff, L = 4.0, 40.0
+        rng = np.random.RandomState(9)
+        n = 500
+        R = rng.uniform(0, L, size=(n, 3))
+        Z = np.full(n, 18, np.int64)
+        masses = np.full(n, 39.9)
+        cell = np.eye(3) * L
+        pot, params = _model(cutoff)
+        mesh = make_column_mesh(4)
+        sim = SpatialColumnSimulator(
+            pot, params, R, Z, masses, cell, mesh, cutoff=cutoff,
+            skin=0.5, dims=(8, 8, 1), dt=0.2, seed=3,
+        )
+        sim.simulate(12, chunk_size=4)   # 3 chunks, NVE
+        assert sim.rebuilds == 3
+        assert np.isfinite(sim.R).all() and np.isfinite(sim.p).all()
+        # displacement bounded (no integrator blow-up through rebuilds)
+        assert np.abs(sim.R - R).max() < 5.0

@@ -226,6 +226,42 @@ def make_kernels(nx, ny, P, ks, F, B1):
         dq_ref[0, 0] = acc[:, :F]
         dmu_ref[0, 0] = acc[:, F:]
 
+    def v6_kernel(q_oh, d_oh, FW_ref, geo_ref, xcols, mucols,
+                  dq_ref, dmu_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        msgs = []
+        for c9, (di, dj) in enumerate(COL_OFFSETS):
+            o0, k = offs[c9], ks[c9]
+            xi = jax.lax.rem(i + di + nx, nx)
+            yj = jax.lax.rem(j + dj + ny, ny)
+            ohj = q_oh[0, 0, o0:o0 + k]
+            xj = jax.lax.dot_general(
+                ohj, xcols[xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            mu_j = jax.lax.dot_general(
+                ohj, mucols[xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            geo = geo_ref[0, 0, :, o0:o0 + k].T.astype(jnp.bfloat16)
+            W = jax.lax.dot_general(
+                geo[:, :B1], FW_ref[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dirs = geo[:, B1:B1 + 3]
+            xjW = xj * W
+            dqe = xjW[:, :F]
+            dmuR = xjW[:, F:2 * F]
+            dmumu = xjW[:, 2 * F:]
+            parts = [dqe]
+            for xx in range(3):
+                mujx = mu_j[:, xx * F:(xx + 1) * F]
+                parts.append(dmuR * dirs[:, xx:xx + 1] + dmumu * mujx)
+            msgs.append(jnp.concatenate(parts, axis=-1))
+        msg_all = jnp.concatenate(msgs, axis=0)
+        acc = jax.lax.dot_general(
+            d_oh[0, 0], msg_all, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, 0] = acc[:, :F]
+        dmu_ref[0, 0] = acc[:, F:]
+
     def call(kernel, arrs, specs):
         return pl.pallas_call(
             kernel,
@@ -243,7 +279,7 @@ def make_kernels(nx, ny, P, ks, F, B1):
         )(*arrs)
 
     return call, (v0_kernel, v1_kernel, v2_kernel, v3_kernel, v4_kernel,
-                  v5_kernel)
+                  v5_kernel, v6_kernel)
 
 
 def profile_device_ms(fn, args, iters, tag):
@@ -255,7 +291,7 @@ def profile_device_ms(fn, args, iters, tag):
         def body(x, _):
             out = fn(x)
             # data dependency: fold a scalar back into the carry
-            return x + (0 * jnp.sum(out[0][0, 0, 0, :1])).astype(x.dtype), None
+            return x + (0 * jnp.sum(out[0].ravel()[:1])).astype(x.dtype), None
 
         return jax.lax.scan(body, x0, None, length=iters)[0]
 
@@ -316,7 +352,7 @@ def main(iters=30):
     import jax.experimental.pallas as pl
 
     call, kernels = make_kernels(nx, ny, P, ks, F, B1)
-    v0, v1, v2, v3, v4, v5 = kernels
+    v0, v1, v2, v3, v4, v5, v6 = kernels
 
     resident = lambda shp: pl.BlockSpec(shp, lambda i, j: tuple(
         0 for _ in shp))
@@ -355,6 +391,12 @@ def main(iters=30):
              FW_spec, blocked((1, 1, B1 + 3, Ktot)),
              resident((nx, ny, P, 6 * F))],
             FW),
+        "v6_pre_bf16vpu": (
+            v6, lambda W: (q_oh, d_oh, W, geo, x, mu),
+            [blocked((1, 1, Ktot, P)), blocked((1, 1, Ktot, P)),
+             FW_spec, blocked((1, 1, B1 + 3, Ktot)),
+             resident((nx, ny, P, 3 * F)), resident((nx, ny, P, 3 * F))],
+            FW),
         "v5_pre_pbfold": (
             v5, lambda W: (q_oh, d_oh, W, geo, x, mu),
             [blocked((1, 1, Ktot, P)), blocked((1, 1, Ktot, P)),
@@ -372,6 +414,7 @@ def main(iters=30):
         "v3_pre_merged": slots * 2 * P * 10 * F,
         "v4_ceiling": slots * 2 * P * 10 * F,
         "v5_pre_pbfold": slots * 2 * P * 10 * F,
+        "v6_pre_bf16vpu": slots * 2 * P * 10 * F,
     }
 
     for name, (kern, argfn, specs, var_in) in cases.items():

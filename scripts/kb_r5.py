@@ -262,6 +262,43 @@ def make_kernels(nx, ny, P, ks, F, B1):
         dq_ref[0, 0] = acc[:, :F]
         dmu_ref[0, 0] = acc[:, F:]
 
+    # -------- v7: preoh + channel-major W dot (no [24, k] geo transpose)
+    def v7_kernel(q_oh, d_oh, FW_ref, geo_ref, xcols, mucols,
+                  dq_ref, dmu_ref):
+        i, j = pl.program_id(0), pl.program_id(1)
+        msgs = []
+        for c9, (di, dj) in enumerate(COL_OFFSETS):
+            o0, k = offs[c9], ks[c9]
+            xi = jax.lax.rem(i + di + nx, nx)
+            yj = jax.lax.rem(j + dj + ny, ny)
+            ohj = q_oh[0, 0, o0:o0 + k]
+            xj = jax.lax.dot_general(
+                ohj, xcols[xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            mu_j = jax.lax.dot_general(
+                ohj, mucols[xi, yj], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            geo_cm = geo_ref[0, 0, :, o0:o0 + k]            # [24, k]
+            W = jax.lax.dot_general(
+                geo_cm[:B1], FW_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [k, 3F]
+            dirs = geo_cm[B1:B1 + 3].T                       # [k, 3] (tiny)
+            xjW = xj * W
+            dqe = xjW[:, :F]
+            dmuR = xjW[:, F:2 * F]
+            dmumu = xjW[:, 2 * F:]
+            parts = [dqe]
+            for xx in range(3):
+                mujx = mu_j[:, xx * F:(xx + 1) * F]
+                parts.append(dmuR * dirs[:, xx:xx + 1] + dmumu * mujx)
+            msgs.append(jnp.concatenate(parts, axis=-1))
+        msg_all = jnp.concatenate(msgs, axis=0)
+        acc = jax.lax.dot_general(
+            d_oh[0, 0], msg_all.astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dq_ref[0, 0] = acc[:, :F]
+        dmu_ref[0, 0] = acc[:, F:]
+
     def call(kernel, arrs, specs):
         return pl.pallas_call(
             kernel,
@@ -279,7 +316,7 @@ def make_kernels(nx, ny, P, ks, F, B1):
         )(*arrs)
 
     return call, (v0_kernel, v1_kernel, v2_kernel, v3_kernel, v4_kernel,
-                  v5_kernel, v6_kernel)
+                  v5_kernel, v6_kernel, v7_kernel)
 
 
 def profile_device_ms(fn, args, iters, tag):
@@ -352,7 +389,7 @@ def main(iters=30):
     import jax.experimental.pallas as pl
 
     call, kernels = make_kernels(nx, ny, P, ks, F, B1)
-    v0, v1, v2, v3, v4, v5, v6 = kernels
+    v0, v1, v2, v3, v4, v5, v6, v7 = kernels
 
     resident = lambda shp: pl.BlockSpec(shp, lambda i, j: tuple(
         0 for _ in shp))
@@ -403,7 +440,16 @@ def main(iters=30):
              FW_spec, blocked((1, 1, B1 + 3, Ktot)),
              resident((nx, ny, P, 3 * F)), resident((nx, ny, P, 3 * F))],
             FW),
+        "v7_pre_cmW": (
+            v7, lambda W: (q_oh, d_oh, W, geo, x, mu),
+            [blocked((1, 1, Ktot, P)), blocked((1, 1, Ktot, P)),
+             FW_spec, blocked((1, 1, B1 + 3, Ktot)),
+             resident((nx, ny, P, 3 * F)), resident((nx, ny, P, 3 * F))],
+            FW),
     }
+    only = sys.argv[2:] if len(sys.argv) > 2 else None
+    if only:
+        cases = {k: v for k, v in cases.items() if k in only}
 
     # FLOP accounting (per kernel pass)
     slots = nx * ny * Ktot
@@ -415,6 +461,7 @@ def main(iters=30):
         "v4_ceiling": slots * 2 * P * 10 * F,
         "v5_pre_pbfold": slots * 2 * P * 10 * F,
         "v6_pre_bf16vpu": slots * 2 * P * 10 * F,
+        "v7_pre_cmW": slots * 2 * P * 10 * F,
     }
 
     for name, (kern, argfn, specs, var_in) in cases.items():
@@ -430,4 +477,4 @@ def main(iters=30):
 
 
 if __name__ == "__main__":
-    main(*(int(a) for a in sys.argv[1:]))
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 30)

@@ -15,13 +15,19 @@ class GaussianRBF(nn.Module):
     trainable: bool = False
 
     @nn.compact
-    def __call__(self, d: jax.Array) -> jax.Array:
+    def __call__(self, d: jax.Array, return_params: bool = False):
+        """Expand distances; with ``return_params`` return the
+        (centers, widths) arrays instead (same flax params, same scope)
+        — used by the column fast path, which evaluates the RBF inside
+        its fused geometry rather than on a distance tensor."""
         centers0, widths0 = radial_ops.gaussian_rbf_params(self.n_rbf, self.cutoff, self.start)
         if self.trainable:
             centers = self.param("centers", lambda rng: jnp.asarray(centers0))
             widths = self.param("widths", lambda rng: jnp.asarray(widths0))
         else:
             centers, widths = jnp.asarray(centers0), jnp.asarray(widths0)
+        if return_params:
+            return centers, widths
         return radial_ops.gaussian_rbf(d, centers, widths)
 
 

@@ -31,7 +31,26 @@ def segment_sum(
 
     ``x``: [N, ...]; ``idx``: [N] int32. Out-of-range indices (used for
     padding) are dropped by XLA's scatter semantics.
+
+    For few segments (per-molecule reductions: the Atomwise energy sum,
+    dipole/polarizability aggregation) the XLA scatter lowering is
+    serialized row traffic — measured 0.21 ms/step of the 10k-atom MD
+    step (r5 trace).  A one-hot matmul does the same reduction on the
+    MXU; HIGHEST precision keeps the f32 accumulation exact (an energy
+    sum over 10^4 atoms must not run at bf16).  Out-of-range padding
+    indices produce all-zero one-hot rows — identical drop semantics.
     """
+    if (num_segments <= 128 and x.ndim <= 2
+            and jnp.issubdtype(x.dtype, jnp.floating)):
+        oh = (idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)
+              ).astype(x.dtype)                            # [N, M]
+        x2 = x[:, None] if x.ndim == 1 else x
+        out = jax.lax.dot_general(
+            oh, x2, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=x2.dtype,
+        )                                                  # [M, D]
+        return out[:, 0] if x.ndim == 1 else out
     return jax.ops.segment_sum(
         x, idx, num_segments=num_segments, indices_are_sorted=indices_are_sorted
     )

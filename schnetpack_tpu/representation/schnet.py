@@ -136,11 +136,11 @@ class SchNet(nn.Module):
             from ..ops.colblock_geo import column_geometry
             from ..ops.radial import gaussian_rbf_params
 
-            if not (isinstance(radial, GaussianRBF) and not radial.trainable
+            if not (isinstance(radial, GaussianRBF)
                     and isinstance(cutoff_fn, CosineCutoff)):
                 raise NotImplementedError(
-                    "the SchNet column path requires a non-trainable "
-                    "GaussianRBF and a CosineCutoff"
+                    "the SchNet column path requires a GaussianRBF and "
+                    "a CosineCutoff"
                 )
             qc = inputs[properties.cell_qcol]
             ksz = tuple(a.shape[0] for a in inputs[properties.cell_ksz])
@@ -152,11 +152,26 @@ class SchNet(nn.Module):
                 coff_fm = jnp.moveaxis(
                     inputs[properties.cell_coff]
                     * inputs[properties.cell_emask][..., None], 3, 2)
-            centers, widths = gaussian_rbf_params(
-                radial.n_rbf, radial.cutoff, radial.start)
-            geo = column_geometry(
-                inputs[properties.R], coff_fm, refs, centers, widths,
-                cutoff_fn.cutoff, raw_phi=True)
+            if radial.trainable:
+                # trainable RBF (reference nn/radial.py:18-49 with
+                # trainable=True): centers/widths are flax params, so the
+                # geometry must stay differentiable in them — the pallas
+                # geometry kernel's VJP only emits dR (colblock_geo.py),
+                # so use the XLA geometry; the fused cfconv kernels'
+                # ggeo cotangent then reaches centers/widths through
+                # XLA autodiff.
+                from ..ops.colblock_geo import column_geometry_xla
+
+                centers, widths = radial(None, return_params=True)
+                geo = column_geometry_xla(
+                    inputs[properties.R], coff_fm, refs, centers, widths,
+                    cutoff_fn.cutoff, raw_phi=True)
+            else:
+                centers, widths = gaussian_rbf_params(
+                    radial.n_rbf, radial.cutoff, radial.start)
+                geo = column_geometry(
+                    inputs[properties.R], coff_fm, refs, centers, widths,
+                    cutoff_fn.cutoff, raw_phi=True)
             fused_ctx = (geo, refs)
             f_ij = rcut_ij = None
             idx_i = idx_j = nbh_idx = nbh_rev = nbh_mask = None

@@ -57,7 +57,8 @@ def _koffs(ks):
 
 
 def make_param_call(nx, ny, P, ks, F, B, rc, vpu_bf16=False, chain=True,
-                    dots_only=False, posp=3, cmchain=False):
+                    dots_only=False, posp=3, cmchain=False,
+                    gdir_blockdot=False):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -135,7 +136,9 @@ def make_param_call(nx, ny, P, ks, F, B, rc, vpu_bf16=False, chain=True,
                     t2 = gmux * mujx
                     gdmumu = t2 if gdmumu is None else gdmumu + t2
                     gmuj_parts.append(gmux * dmumu)
-                    if cmchain:
+                    if gdir_blockdot:
+                        gdir_parts.append(gmux * dmuR)
+                    elif cmchain:
                         # defer the F-reduction to a ones-row MXU dot that
                         # emits [1, k] channel-major (no [k, 1] lane-poor
                         # intermediate, no transpose)
@@ -189,7 +192,20 @@ def make_param_call(nx, ny, P, ks, F, B, rc, vpu_bf16=False, chain=True,
                       * fcutT
                       + (jnp.sum(gphi_fc * phiT, axis=0, keepdims=True)
                          + gfc) * dfcut_dd)
-                if cmchain:
+                if gdir_blockdot:
+                    # ONE [3, 3F] block-ones dot for all three lane
+                    # reductions (vs 3 VPU cross-lane reduction trees)
+                    U = jnp.concatenate(gdir_parts, axis=-1)   # [k, 3F]
+                    B3 = jnp.concatenate([
+                        jnp.concatenate([
+                            jnp.ones((1, F), jnp.float32) if c == r
+                            else jnp.zeros((1, F), jnp.float32)
+                            for c in range(3)], axis=1)
+                        for r in range(3)], axis=0)            # [3, 3F]
+                    gdirT = jax.lax.dot_general(
+                        B3, U, (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)    # [3, k]
+                elif cmchain:
                     ones_row = jnp.ones((1, F), jnp.float32)
                     gdirT = jnp.concatenate([
                         jax.lax.dot_general(
@@ -385,6 +401,8 @@ def main(iters=30):
         "b6_dots": dict(chain=False, dots_only=True),
         "b8_cmchain": dict(cmchain=True),
         "b9_cm_posp1": dict(cmchain=True, posp=1),
+        "b10_gdirdot": dict(gdir_blockdot=True),
+        "b11_cm_gdot": dict(cmchain=True, gdir_blockdot=True),
     }
     only = sys.argv[2:] if len(sys.argv) > 2 else None
     variants = ({k: v for k, v in all_variants.items() if k in only}

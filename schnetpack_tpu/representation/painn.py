@@ -48,7 +48,8 @@ class PaiNNInteraction(nn.Module):
 
     @nn.compact
     def __call__(self, q, mu, Wij, dir_ij, idx_i=None, idx_j=None, nbh_idx=None,
-                 nbh_rev=None, nbh_mask=None, fused_ctx=None):
+                 nbh_rev=None, nbh_mask=None, fused_ctx=None,
+                 return_deltas=False):
         F = self.n_atom_basis
         A = q.shape[0]
         x = Dense(F, activation=self.activation, name="ctx_0")(q)
@@ -107,6 +108,10 @@ class PaiNNInteraction(nn.Module):
                 dq_sum, dmu_sum = painn_message_cellblock(
                     xmu, rbf_aug, dir_ij, FW_aug, cell_qidx
                 )
+            if return_deltas:
+                # mixing-fusion path: the residual add happens inside the
+                # fused mixing kernel's prologue (ops/painn_mixing.py)
+                return dq_sum, dmu_sum
             q = q + dq_sum
             mu = (mu_flat + dmu_sum if mu.ndim == 2
                   else mu + dmu_sum.reshape(A, 3, F))
@@ -152,7 +157,8 @@ class PaiNNMixing(nn.Module):
     epsilon: float = 1e-8
 
     @nn.compact
-    def __call__(self, q: jax.Array, mu: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def __call__(self, q: jax.Array, mu: jax.Array, dq=None,
+                 dmu=None) -> Tuple[jax.Array, jax.Array]:
         F = self.n_atom_basis
 
         # identical param tree to Dense(name=...)(...) (which nests an
@@ -170,6 +176,30 @@ class PaiNNMixing(nn.Module):
 
         # Dense(2F, use_bias=False, name="channel_mix") -> two F-blocks
         k_mix = _dense_params("channel_mix", F, 2 * F, bias=False)["kernel"]
+        if mu.ndim == 2 and dq is not None:
+            # column fast path with mixing fusion: residual add + the
+            # whole mixing block in one kernel pass (same param tree,
+            # same creation order as the unfused branches below)
+            from ..ops.activations import shifted_softplus as _ssp
+            from ..ops.painn_mixing import painn_mixing_fused
+
+            k0p = _dense_params("intra_0", 2 * F, F)
+            k1p = _dense_params("intra_1", F, 3 * F)
+            act = ("ssp" if self.activation is _ssp
+                   else "silu" if self.activation is jax.nn.silu
+                   else None)
+            if act is None:
+                # unknown activation: apply the residual and fall through
+                # to the generic flat branch
+                q = q + dq
+                mu = mu + dmu
+            else:
+                return painn_mixing_fused(
+                    q, mu, dq, dmu, k_mix, k0p["kernel"], k0p["bias"],
+                    k1p["kernel"], k1p["bias"], self.epsilon, act)
+        elif dq is not None:
+            q = q + dq
+            mu = mu + dmu
         if mu.ndim == 2:
             # flat [A, 3F] layout (column fast path): per-component F-block
             # slices are free lane slices at 128-multiples — same weights,
@@ -467,10 +497,18 @@ class PaiNN(nn.Module):
                 for t in range(self.n_interactions)
             ]
         for t, (inter, mix) in enumerate(blocks):
-            q, mu = inter(q, mu, filter_list[t], dir_ij, idx_i, idx_j, nbh_idx,
-                          nbh_rev, nbh_mask,
-                          fused_ctx_list[t] if fused_ctx_list else None)
-            q, mu = mix(q, mu)
+            if fused_ctx_list is not None:
+                # interaction returns the message deltas; the residual
+                # add runs inside the fused mixing kernel's prologue
+                dq_s, dmu_s = inter(
+                    q, mu, filter_list[t], dir_ij, idx_i, idx_j, nbh_idx,
+                    nbh_rev, nbh_mask, fused_ctx_list[t],
+                    return_deltas=True)
+                q, mu = mix(q, mu, dq_s, dmu_s)
+            else:
+                q, mu = inter(q, mu, filter_list[t], dir_ij, idx_i, idx_j,
+                              nbh_idx, nbh_rev, nbh_mask, None)
+                q, mu = mix(q, mu)
 
         inputs[properties.scalar_representation] = q
         if mu.ndim == 2:

@@ -72,12 +72,15 @@ def _acquire_device(timeout_s: float = 600.0):
 def train_bench(chunk: int = 20, n_chunks: int = 4):
     """TPU training-step benchmark (VERDICT r4 #2): PaiNN-128x3
     energy+forces on an MD17-aspirin-class batch (100 molecules x 21
-    atoms, flat padded pair lists — the training layout).  Chained
-    ``lax.scan`` over the pure train step (parameter updates give the
-    sequential dependency); min-over-chunks + profiler cross-check, the
-    same methodology as the MD loop.  Reference hot loop:
-    schnetpack training_step -> SchNet/PaiNN message passing + Forces
-    backward (reference task.py:166-185, representation/painn.py:14-67).
+    atoms), measured on BOTH training batch layouts — the flat padded
+    pair list (gather/segment-sum) and the dense [A, K] neighbor matrix
+    (scatter-free K-axis aggregation, ``AtomsDataModule(dense_layout=
+    True)``).  Chained ``lax.scan`` over the pure train step (parameter
+    updates give the sequential dependency); min-over-chunks + profiler
+    cross-check, the same methodology as the MD loop.  Reference hot
+    loop: schnetpack training_step -> SchNet/PaiNN message passing +
+    Forces backward (reference task.py:166-185,
+    representation/painn.py:14-67).
     """
     import time
 
@@ -105,10 +108,6 @@ def train_bench(chunk: int = 20, n_chunks: int = 4):
              P.energy: np.array([float((R ** 2).sum())]),
              P.forces: (-2.0 * R)}
         samples.append(NeighborListTransform(cutoff)(s))
-    spec = padding_for(samples)
-    batch = collate(samples, spec)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-
     pot = NeuralNetworkPotential(
         representation=PaiNN(n_atom_basis=128, n_interactions=3, n_rbf=20,
                              cutoff=cutoff),
@@ -123,68 +122,91 @@ def train_bench(chunk: int = 20, n_chunks: int = 4):
         ],
         learning_rate=1e-4,
     )
-    state = task.create_state(jax.random.PRNGKey(0), batch)
 
-    def chained(state):
-        def body(s, _):
-            s2, _m = task._train_step_impl(s, batch)
-            return s2, None
+    def measure(spec):
+        batch = collate(samples, spec)
+        batch = {k: jnp.asarray(v) for k, v in batch.items()}
+        state = task.create_state(jax.random.PRNGKey(0), batch)
 
-        return jax.lax.scan(body, state, None, length=chunk)[0]
+        def chained(state):
+            def body(s, _):
+                s2, _m = task._train_step_impl(s, batch)
+                return s2, None
 
-    run = jax.jit(chained, donate_argnums=0)
-    state = jax.block_until_ready(run(state))  # compile + warm
-    dts = []
-    for _ in range(n_chunks):
-        t0 = time.time()
-        state = jax.block_until_ready(run(state))
-        dts.append((time.time() - t0) / chunk)
-    dts.sort()
+            return jax.lax.scan(body, state, None, length=chunk)[0]
 
-    device_ms = None
-    try:
-        import glob
-        import gzip
-        import tempfile
-
-        tdir = tempfile.mkdtemp(prefix="bench_train_trace_")
-        with jax.profiler.trace(tdir):
+        run = jax.jit(chained, donate_argnums=0)
+        state = jax.block_until_ready(run(state))  # compile + warm
+        dts = []
+        for _ in range(n_chunks):
+            t0 = time.time()
             state = jax.block_until_ready(run(state))
-        files = sorted(glob.glob(tdir + "/**/*.trace.json.gz", recursive=True))
-        if files:
-            with gzip.open(files[-1], "rt") as f:
-                trace = json.load(f)
-            pids = {
-                ev["pid"]: ev["args"].get("name", "")
-                for ev in trace["traceEvents"]
-                if ev.get("ph") == "M" and ev.get("name") == "process_name"
-            }
-            dev_pids = {p for p, nm in pids.items() if "TPU" in nm}
-            totals = {}
-            for ev in trace["traceEvents"]:
-                if (ev.get("ph") == "X" and ev.get("pid") in dev_pids
-                        and ev.get("name", "").startswith("while")):
-                    totals[ev["name"]] = (
-                        totals.get(ev["name"], 0.0) + ev.get("dur", 0)
-                    )
-            if totals:
-                device_ms = max(totals.values()) / 1e3 / chunk
-    except Exception:
-        pass
+            dts.append((time.time() - t0) / chunk)
+        dts.sort()
 
-    dt = dts[0]
+        device_ms = None
+        try:
+            import glob
+            import gzip
+            import tempfile
+
+            tdir = tempfile.mkdtemp(prefix="bench_train_trace_")
+            with jax.profiler.trace(tdir):
+                state = jax.block_until_ready(run(state))
+            files = sorted(
+                glob.glob(tdir + "/**/*.trace.json.gz", recursive=True))
+            if files:
+                with gzip.open(files[-1], "rt") as f:
+                    trace = json.load(f)
+                pids = {
+                    ev["pid"]: ev["args"].get("name", "")
+                    for ev in trace["traceEvents"]
+                    if ev.get("ph") == "M" and ev.get("name") == "process_name"
+                }
+                dev_pids = {p for p, nm in pids.items() if "TPU" in nm}
+                totals = {}
+                for ev in trace["traceEvents"]:
+                    if (ev.get("ph") == "X" and ev.get("pid") in dev_pids
+                            and ev.get("name", "").startswith("while")):
+                        totals[ev["name"]] = (
+                            totals.get(ev["name"], 0.0) + ev.get("dur", 0)
+                        )
+                if totals:
+                    device_ms = max(totals.values()) / 1e3 / chunk
+        except Exception:
+            pass
+
+        dt = dts[0]
+        return {
+            "batch_atoms": int(batch[P.Z].shape[0]),
+            "batch_pairs": int(batch[P.idx_i].shape[0]),
+            "ms_per_step": round(dt * 1e3, 3),
+            "ms_per_step_all_chunks": [round(d * 1e3, 2) for d in dts],
+            "ms_per_step_device_profiler": (
+                round(device_ms, 3) if device_ms else None),
+            "samples_per_sec": round(n_mol / dt, 1),
+            "atom_steps_per_sec": round(n_mol * n_at / dt, 1),
+        }
+
+    spec = padding_for(samples)
+    flat = measure(spec)
+    max_nbrs = max(int(np.bincount(np.asarray(s[P.idx_i])).max())
+                   for s in samples)
+    from schnetpack_tpu.data.loader import round_up
+
+    dense_spec = PaddingSpec(spec.n_atoms, spec.n_pairs, spec.n_molecules,
+                             n_neighbors=round_up(max_nbrs + 1, 4))
+    dense = measure(dense_spec)
+    best = dense if dense["ms_per_step"] <= flat["ms_per_step"] else flat
     return {
         "what": "PaiNN-128x3 energy+forces train step, batch=100 aspirin-"
-                "class molecules (2100 atoms), flat padded pair lists",
+                "class molecules (2100 atoms); flat pair-list vs dense "
+                "[A, K] neighbor-matrix training layouts",
         "batch_molecules": n_mol,
-        "batch_atoms": int(batch[P.Z].shape[0]),
-        "batch_pairs": int(batch[P.idx_i].shape[0]),
-        "ms_per_step": round(dt * 1e3, 3),
-        "ms_per_step_all_chunks": [round(d * 1e3, 2) for d in dts],
-        "ms_per_step_device_profiler": (
-            round(device_ms, 3) if device_ms else None),
-        "samples_per_sec": round(n_mol / dt, 1),
-        "atom_steps_per_sec": round(n_mol * n_at / dt, 1),
+        "layout": "dense" if best is dense else "flat",
+        **best,
+        "flat": flat,
+        "dense": dense,
     }
 
 
@@ -260,8 +282,16 @@ def main():
     # occupancy shift; every message kernel scales with the slot count.
     # Costs one recompile (shapes shrink); grow-on-overflow keeps
     # correctness if occupancies later exceed the tightened capacities.
+    import sys
+
+    def _caps(tag):
+        print(f"bench: {tag}: C={nbl._C} Ktot={sum(nbl._K)} "
+              f"dims={nbl._dims}", file=sys.stderr)
+
+    _caps("initial capacities")
     nbl.retighten(sim.state.system, jitter_fraction=0.05,
                   bucket_headroom=1.0 / 24.0)
+    _caps("after retighten")
     sim.simulate(chunk, chunk_size=chunk)  # compile the tightened shapes
     # compile the on-device rebuild path outside the timed region (it
     # fires at most once per few hundred steps inside it)
@@ -288,6 +318,7 @@ def main():
             dt_c = (time.time() - t0) / chunk
         if any("overflow" in str(w.message).lower() for w in wlist):
             overflow_redos += 1
+            _caps(f"after overflow grow #{overflow_redos}")
             # capacities grew at the boundary: compile + warm new shapes
             sim.simulate(chunk, chunk_size=chunk)
             continue
@@ -409,6 +440,18 @@ def main():
                         round(device_ms, 3) if device_ms else None
                     ),
                     "ms_per_step_all_chunks": [round(d * 1e3, 2) for d in chunk_dts],
+                    "atom_steps_per_sec_v5e8_weak_scaling_projection": round(
+                        atom_steps * 8, 1),
+                    "v5e8_projection_basis": (
+                        "the north-star target (BASELINE.json) is defined on "
+                        "v5e-8; only one chip is reachable through this "
+                        "tunnel.  Projection = 8x the single-chip device "
+                        "throughput at constant per-device atom count (weak "
+                        "scaling): the sharded column MD path exchanges only "
+                        "two boundary planes per block direction per step "
+                        "(~2.4 MB, PERF.md 'Multi-chip') and its 8-device "
+                        "trajectory parity incl. rebuild crossings is "
+                        "validated in MULTICHIP dryruns"),
                     "force_eval_ms_rtt_corrected": round(force_eval_ms, 3),
                     "force_eval_atom_steps_per_sec": round(n_atoms / force_eval_ms * 1e3, 1),
                     "force_eval_gflops": round(flops_per_eval / 1e9, 2),

@@ -41,6 +41,7 @@ class AtomsDataModule:
         property_units: Optional[Dict[str, str]] = None,
         data_workdir: Optional[str] = None,
         padding: Optional[PaddingSpec] = None,
+        dense_layout: bool = False,
         seed: int = 0,
         train_sampler_cls: Optional[str] = None,
         train_sampler_args: Optional[Dict] = None,
@@ -58,6 +59,7 @@ class AtomsDataModule:
         self.distance_unit = distance_unit
         self.property_units = property_units
         self.padding = padding
+        self.dense_layout = dense_layout
         self.seed = seed
         self.data_workdir = data_workdir
         self.train_sampler_cls = train_sampler_cls
@@ -135,7 +137,9 @@ class AtomsDataModule:
             probe = self.dataset.subset(self.train_idx[: min(len(self.train_idx), 256)])
             probe.transforms = list(self.train_transforms)
             self.padding = static_padding_for_dataset(
-                probe, max(self.batch_size, self.val_batch_size, self.test_batch_size)
+                probe,
+                max(self.batch_size, self.val_batch_size, self.test_batch_size),
+                dense_layout=self.dense_layout,
             )
         self._setup_done = True
 

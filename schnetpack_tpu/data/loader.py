@@ -367,9 +367,15 @@ def static_padding_for_dataset(
     indices: Optional[Sequence[int]] = None,
     sample_limit: int = 512,
     safety: float = 1.05,
+    dense_layout: bool = False,
 ) -> PaddingSpec:
     """Scan (a subsample of) the dataset and derive one static PaddingSpec
-    covering any batch of ``batch_size`` samples — so training compiles once."""
+    covering any batch of ``batch_size`` samples — so training compiles once.
+
+    ``dense_layout=True`` additionally sizes ``n_neighbors`` (max per-atom
+    neighbor count over the scan, with headroom) so collate emits the dense
+    [A, K] neighbor matrix and training runs the scatter-free K-axis
+    aggregation path instead of flat gather/segment-sum."""
     idxs = list(indices) if indices is not None else list(range(len(dataset)))
     if len(idxs) > sample_limit:
         step = len(idxs) // sample_limit
@@ -378,16 +384,22 @@ def static_padding_for_dataset(
     max_pairs = 1
     max_lr = 0
     max_tr = 0
+    max_nbrs = 0
     for i in idxs:
         s = dataset[i]
         max_atoms = max(max_atoms, len(s[structure.Z]))
         max_pairs = max(max_pairs, len(s.get(structure.idx_i, ())))
         max_lr = max(max_lr, len(s.get(structure.idx_i_lr, ())))
         max_tr = max(max_tr, len(s.get(structure.idx_j_triples, ())))
+        if dense_layout and structure.idx_i in s and len(s[structure.idx_i]):
+            max_nbrs = max(max_nbrs, int(np.bincount(
+                np.asarray(s[structure.idx_i])).max()))
     return PaddingSpec(
         n_atoms=round_up(int(batch_size * max_atoms * safety) + 1, 16),
         n_pairs=round_up(int(batch_size * max_pairs * safety), 128),
         n_molecules=batch_size + 1,
         n_pairs_lr=round_up(int(batch_size * max_lr * safety), 128) if max_lr else 0,
         n_triples=round_up(int(batch_size * max_tr * safety), 128) if max_tr else 0,
+        n_neighbors=(round_up(int(max_nbrs * safety) + 1, 4)
+                     if dense_layout and max_nbrs else 0),
     )

@@ -122,3 +122,63 @@ def test_stress_flat_vs_dense(argon_crystal):
             rtol=1e-8, atol=1e-12,
         )
         assert np.abs(np.asarray(out_dense[properties.stress][0])).max() > 1e-8
+
+
+def test_train_grads_flat_vs_dense(rng):
+    """Training on dense [A, K] batches (AtomsDataModule(dense_layout=True))
+    gives the same parameter gradients as the flat pair-list layout."""
+    import jax
+
+    from schnetpack_tpu.train import AtomisticTask, ModelOutput
+
+    mols = []
+    for n in (6, 7):
+        m = random_molecule(rng, n)
+        m[properties.energy] = np.array([float((m[properties.R] ** 2).sum())])
+        m[properties.forces] = -2.0 * m[properties.R]
+        mols.append(m)
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=16, n_interactions=2, n_rbf=8,
+                             cutoff=CUTOFF),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=properties.energy), Forces()],
+    )
+    task = AtomisticTask(
+        pot,
+        outputs=[ModelOutput(properties.energy, loss_fn="mse", loss_weight=0.1),
+                 ModelOutput(properties.forces, loss_fn="mse", loss_weight=0.9)],
+        learning_rate=1e-3,
+    )
+    b_flat = {k: np.asarray(v) for k, v in collate(mols, FLAT_SPEC).items()}
+    b_dense = {k: np.asarray(v) for k, v in collate(mols, DENSE_SPEC).items()}
+    state = task.create_state(jax.random.PRNGKey(0), b_flat)
+
+    def gradtree(batch):
+        def loss_fn(p):
+            out = pot.apply(p, dict(batch))
+            l_e = ((out[properties.energy][:2].ravel()
+                    - np.concatenate([m[properties.energy] for m in mols])) ** 2).mean()
+            return l_e
+        return jax.grad(loss_fn)(state.params)
+
+    g_flat = gradtree(b_flat)
+    g_dense = gradtree(b_dense)
+    flat_leaves = jax.tree_util.tree_leaves(g_flat)
+    dense_leaves = jax.tree_util.tree_leaves(g_dense)
+    for a, b in zip(flat_leaves, dense_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-6)
+
+
+def test_static_padding_dense_layout(rng, tmp_path):
+    """static_padding_for_dataset(dense_layout=True) sizes n_neighbors so
+    the loader emits dense batches for training (datamodule knob)."""
+    from schnetpack_tpu.data.loader import static_padding_for_dataset
+
+    mols = [NeighborListTransform(CUTOFF)(random_molecule(rng, n))
+            for n in (5, 9, 4)]
+    spec = static_padding_for_dataset(mols, batch_size=2, dense_layout=True)
+    assert spec.n_neighbors >= max(
+        int(np.bincount(m[properties.idx_i]).max()) for m in mols)
+    b = collate(mols[:2], spec)
+    assert properties.nbh_idx in b and b[properties.nbh_idx].shape[1] == spec.n_neighbors

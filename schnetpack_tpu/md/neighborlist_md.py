@@ -309,7 +309,7 @@ class CellBlockNeighborListMD:
             return int(-(-int(v) // 8) * 8)
 
         if self.layout_kind == "column":
-            if self._dims is None:
+            def _first_build():
                 # First build: probe capacities on a skin/2-jittered copy
                 # of the positions — thermal equilibration moves bucket
                 # occupancies well beyond the starting geometry (lattices
@@ -352,6 +352,9 @@ class CellBlockNeighborListMD:
                     _pad8(max(a, b) + max(16, int(max(a, b) * hb)))
                     for a, b in zip(ks0, ks1)
                 )
+
+            if self._dims is None:
+                _first_build()
             try:
                 layout = build_column_layout(
                     R_build, rc, use_cell, use_pbc, capacity=self._C,
@@ -369,11 +372,26 @@ class CellBlockNeighborListMD:
                     capacity_headroom=self.capacity_headroom,
                 )
                 _, _, P2, ks2 = lay2.dims
-                self._C = max(self._C, _pad8(P2 + 8))
-                self._K = tuple(
-                    max(a, _pad8(b + max(16, int(b * self.bucket_headroom))))
-                    for a, b in zip(self._K, ks2)
-                )
+                P_want = _pad8(P2 + 8)
+                if (P_want - 1) // 128 > (_pad8(P2) - 1) // 128:
+                    P_want = _pad8(P2)
+                if (max(self._C, P_want) - 1) // 128 > (self._C - 1) // 128:
+                    # growing the depth across a 128 multiple nearly
+                    # doubles every selection dot (a 136-deep column
+                    # costs two MXU passes like 256) — re-autotune the
+                    # xy grid on the CURRENT (equilibrated) geometry
+                    # instead: a finer grid keeps the depth in one pass
+                    # at the same physics, for the same recompile the
+                    # grow already pays (measured: the 10k bench's
+                    # 128->136 grow was +39% step time vs +6% slots).
+                    _first_build()
+                else:
+                    self._C = max(self._C, P_want)
+                    self._K = tuple(
+                        max(a, _pad8(b + max(16, int(
+                            b * self.bucket_headroom))))
+                        for a, b in zip(self._K, ks2)
+                    )
                 layout = build_column_layout(
                     R_build, rc, use_cell, use_pbc, capacity=self._C,
                     bucket_size=self._K, dims=self._dims,

@@ -613,9 +613,15 @@ def build_column_layout(
     if dims is not None:
         n = np.asarray(dims, np.int64)
     else:
-        # autotune the xy grid: padded kernel cost ~ columns*Ktot*P
+        # autotune the xy grid: padded kernel cost ~ columns*Ktot*P_eff
         # (selection dots over real+padded edge rows at depth P), plus a
-        # small weight on total atom slots (atomwise table ops)
+        # small weight on total atom slots (atomwise table ops).
+        # P_eff quantizes the depth at the MXU's 128 lanes: the one-hot
+        # operand [K, P] pads P to a multiple of 128 per pass, so P=104
+        # and P=128 cost the same dot while P=136 costs two passes —
+        # grids whose depth just crosses a multiple of 128 are charged
+        # for the full extra pass (measured +39% step time on the 10k
+        # bench when a capacity grow crossed 128 -> 136)
         # min_grid: callers that rebuild the edge state on device need an
         # alias-free stencil (nx, ny >= 3); only enforced when admissible —
         # the unconstrained pass is the fallback when no such grid exists
@@ -633,7 +639,8 @@ def build_column_layout(
                     continue
                 P_c, _, Ktot_c = st
                 ncol = int(cand[0]) * int(cand[1])
-                cost = ncol * Ktot_c * P_c + 50 * ncol * P_c
+                P_eff = -(-P_c // 128) * 128
+                cost = ncol * Ktot_c * P_eff + 50 * ncol * P_c
                 if best_cost is None or cost < best_cost * 0.98:
                     best, best_cost = cand, cost
                     stale = 0

@@ -37,14 +37,22 @@ def segment_sum(
     serialized row traffic — measured 0.21 ms/step of the 10k-atom MD
     step (r5 trace).  A one-hot matmul does the same reduction on the
     MXU; HIGHEST precision keeps the f32 accumulation exact (an energy
-    sum over 10^4 atoms must not run at bf16).  Out-of-range padding
-    indices produce all-zero one-hot rows — identical drop semantics.
+    sum over 10^4 atoms must not run at bf16).  Semantics note: scatter
+    isolates rows to their own segment, but a one-hot dot multiplies
+    EVERY row into every segment (weight 0), and 0*nan = nan — one
+    non-finite padding row (1/d^k infs, fill-mode gathers) would poison
+    all segments.  Non-finite rows are therefore zeroed first: this
+    path does not propagate NaNs from one segment into another, and a
+    segment whose own rows are all non-finite sums to 0 rather than
+    NaN (padding-friendly; the >128-segment scatter path keeps exact
+    XLA semantics).
     """
     if (num_segments <= 128 and x.ndim <= 2
             and jnp.issubdtype(x.dtype, jnp.floating)):
         oh = (idx[:, None] == jnp.arange(num_segments, dtype=idx.dtype)
               ).astype(x.dtype)                            # [N, M]
         x2 = x[:, None] if x.ndim == 1 else x
+        x2 = jnp.where(jnp.isfinite(x2), x2, 0)
         out = jax.lax.dot_general(
             oh, x2, (((0,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,

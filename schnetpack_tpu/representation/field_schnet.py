@@ -249,7 +249,10 @@ class FieldSchNet(nn.Module):
             v = inputs.get(f)
             if v is None:
                 v = jnp.zeros((M, 3), q.dtype)
-            field_atoms[f] = jnp.take(v, idx_m, axis=0)     # [A, 3]
+            # clip: padded atoms index the padding molecule, which the
+            # caller may not have supplied a field row for (jnp.take's
+            # default fill mode would give them NaN vectors)
+            field_atoms[f] = jnp.take(v, idx_m, axis=0, mode="clip")
 
         mu = {f: jnp.zeros((q.shape[0], 3, F), q.dtype) for f in fields}
 

@@ -62,6 +62,19 @@ def load_structures(path: str):
 def build_calculator(cfg: Dict):
     cfg = dict(cfg)
     target = cfg.get("_target_", "")
+    if target.endswith("EnsembleCalculator"):
+        # calculator=ensemble calculator.model_dirs='[run1,run2,...]'
+        from ..cli import load_model
+        from .calculators import EnsembleCalculator, stack_ensemble_params
+
+        model_dirs = cfg.pop("model_dirs")
+        if isinstance(model_dirs, str):
+            model_dirs = [d for d in model_dirs.strip("[]").split(",") if d]
+        loaded = [load_model(d) for d in model_dirs]
+        model = loaded[0][0]
+        stacked = stack_ensemble_params([p for _, p in loaded])
+        cfg.pop("_target_", None)
+        return EnsembleCalculator(model, stacked, **cfg)
     if target.endswith("SchNetPackCalculator"):
         from ..cli import load_model
 

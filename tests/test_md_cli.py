@@ -126,3 +126,48 @@ def test_thermostat_group_override(tmp_path):
 
     cfg = yaml.safe_load(open(os.path.join(sim_dir, "config.yaml")))
     assert cfg["thermostat"]["_target_"].endswith("LangevinThermostat")
+
+
+def test_build_calculator_ensemble(monkeypatch, tmp_path):
+    """calculator=ensemble wires EnsembleCalculator: N model dirs are
+    loaded, params stacked on a leading ensemble axis (config-group
+    parity: reference md_configs/calculator/spk_ensemble.yaml)."""
+    import jax.numpy as jnp
+
+    from schnetpack_tpu import properties as P
+    from schnetpack_tpu.atomistic import Atomwise, Forces, PairwiseDistances
+    from schnetpack_tpu.md.calculators import EnsembleCalculator
+    from schnetpack_tpu.md import cli as md_cli
+    from schnetpack_tpu.model import NeuralNetworkPotential
+    from schnetpack_tpu.representation import PaiNN
+
+    pot = NeuralNetworkPotential(
+        representation=PaiNN(n_atom_basis=8, n_interactions=1, n_rbf=4,
+                             cutoff=4.0),
+        input_modules=[PairwiseDistances()],
+        output_modules=[Atomwise(output_key=P.energy), Forces()],
+    )
+    import jax
+    import numpy as np
+
+    from schnetpack_tpu.data.loader import PaddingSpec, collate
+    from schnetpack_tpu.transform.neighborlist import NeighborListTransform
+
+    s = NeighborListTransform(4.0)({
+        P.Z: np.array([18, 18]), P.R: np.array([[0.0, 0, 0], [3.0, 0, 0]]),
+        P.cell: np.zeros((3, 3)), P.pbc: np.zeros(3, bool)})
+    batch = collate([s], PaddingSpec(4, 16, 2))
+    seeds = iter([0, 1])
+
+    def fake_load_model(d):
+        return pot, pot.init(jax.random.PRNGKey(next(seeds)),
+                             {k: jnp.asarray(v) for k, v in batch.items()})
+
+    monkeypatch.setattr("schnetpack_tpu.cli.load_model", fake_load_model)
+    calc = md_cli.build_calculator({
+        "_target_": "schnetpack_tpu.md.calculators.EnsembleCalculator",
+        "model_dirs": "[a,b]", "cutoff": 4.0, "cutoff_shell": 0.5,
+    })
+    assert isinstance(calc, EnsembleCalculator)
+    leaf = jax.tree_util.tree_leaves(calc.params)[0]
+    assert leaf.shape[0] == 2

@@ -138,17 +138,21 @@ def main(n_train: int = 512, n_val: int = 64, steps: int = 8000,
         warmup_steps=200,
     )
     rng = np.random.RandomState(0)
-    b0 = {k: jnp.asarray(v)
-          for k, v in collate(train[:batch], spec).items()}
+    # pre-collate a pool of fixed batches: host-side collate costs
+    # ~0.6 s/step on this 1-core box and would dominate the TPU step
+    n_pool = 96
+    pool = []
+    for p in range(n_pool):
+        idx = rng.choice(n_train, batch, replace=False)
+        pool.append({k: jnp.asarray(v) for k, v in
+                     collate([train[i] for i in idx], spec).items()})
+    b0 = pool[0]
     state = task.create_state(jax.random.PRNGKey(0), b0)
     step_fn = jax.jit(task._train_step_impl, donate_argnums=0)
 
     t0 = time.time()
     for it in range(steps):
-        idx = rng.choice(n_train, batch, replace=False)
-        b = {k: jnp.asarray(v)
-             for k, v in collate([train[i] for i in idx], spec).items()}
-        state, metrics = step_fn(state, b)
+        state, metrics = step_fn(state, pool[it % n_pool])
         if (it + 1) % 500 == 0:
             loss = float(jax.device_get(metrics["train_loss"][0]))
             print(f"step {it + 1}/{steps} loss {loss:.6f} "
